@@ -1,0 +1,278 @@
+"""VolumetricModel facade: voxel grid + render procedure + config + checkpoint IO.
+
+Rebuild of reference: thre3d_atom/modules/volumetric_model.py:41-301.
+
+Key design changes vs the reference:
+* Checkpoints are pickle-free: a NumPy .npz archive holding the grid tensors
+  plus a JSON document for configs/extra-info (the reference torch-pickles the
+  render-procedure *function object*, volumetric_model.py:93). Files keep the
+  reference names (model_final.pth etc.) so output layout is identical.
+* Full-image rendering is a single jitted program that `lax.map`s over
+  fixed-size ray chunks (the reference runs a Python loop over chunks with
+  optional per-chunk CPU offload, volumetric_model.py:169-187). One dispatch,
+  no host sync per chunk.
+"""
+from __future__ import annotations
+
+import io
+import json
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig
+from voxe_tpu.render.accumulate import RenderOut
+from voxe_tpu.render.interface import (
+    SHVoxGridRenderConfig,
+    render_sh_voxel_grid,
+    render_sh_voxel_grid_attn,
+)
+from voxe_tpu.render.rays import Rays, cast_rays, flatten_rays
+from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, CameraPose
+
+# checkpoint keys (layout parity with reference thre3d_reprs/constants.py)
+THRE3D_REPR = "thre3d_repr"
+RENDER_CONFIG = "render_config"
+EXTRA_INFO = "extra_info"
+
+
+class VolumetricModel:
+    """Facade holding a VoxelGrid and its render configuration."""
+
+    def __init__(
+        self,
+        grid: VoxelGrid,
+        render_config: SHVoxGridRenderConfig,
+        extra_info: Optional[Dict[str, Any]] = None,
+    ):
+        self.grid = grid
+        self.render_config = render_config
+        self.extra_info = dict(extra_info or {})
+
+    # ------------------------------------------------------------------
+    # differentiable ray rendering (train-time path)
+    # ------------------------------------------------------------------
+    def render_rays(
+        self,
+        rays: Rays,
+        key: Optional[jax.Array] = None,
+        **config_overrides,
+    ) -> RenderOut:
+        cfg = (
+            self.render_config.replace(**config_overrides)
+            if config_overrides
+            else self.render_config
+        )
+        return render_sh_voxel_grid(self.grid, rays, cfg, key=key)
+
+    def render_rays_attn(
+        self,
+        rays: Rays,
+        key: Optional[jax.Array] = None,
+        use_orig_densities: bool = False,
+        **config_overrides,
+    ) -> RenderOut:
+        cfg = (
+            self.render_config.replace(**config_overrides)
+            if config_overrides
+            else self.render_config
+        )
+        return render_sh_voxel_grid_attn(
+            self.grid, rays, cfg, key=key, use_orig_densities=use_orig_densities
+        )
+
+    # ------------------------------------------------------------------
+    # full-image no-grad rendering (eval/visualization path)
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        camera_intrinsics: CameraIntrinsics,
+        pose: CameraPose,
+        attn: bool = False,
+        use_orig_densities: bool = False,
+        **config_overrides,
+    ) -> RenderOut:
+        """Render a full image, chunked over rays inside one jitted program.
+
+        Defaults mirror the reference eval mode
+        (volumetric_model.py:135-168): no jitter, optimized AABB sampling, and
+        `render_num_samples_per_ray` samples.
+        """
+        cfg = self.render_config.replace(
+            perturb_sampled_points=False,
+            optimized_sampling=config_overrides.pop("optimized_sampling", True),
+            num_samples_per_ray=config_overrides.pop(
+                "num_samples_per_ray", self.render_config.render_num_samples_per_ray
+            ),
+            stochastic_density_noise_std=0.0,
+            **config_overrides,
+        )
+        rays = flatten_rays(
+            cast_rays(
+                camera_intrinsics,
+                jnp.asarray(pose.rotation),
+                jnp.asarray(pose.translation),
+            )
+        )
+        height, width = camera_intrinsics.height, camera_intrinsics.width
+        out = _chunked_render(
+            self.grid, rays, cfg, attn, use_orig_densities, height * width
+        )
+        reshape = lambda t: t.reshape(height, width, -1)
+        return RenderOut(
+            colour=reshape(out.colour),
+            depth=reshape(out.depth),
+            extra={k: reshape(v) for k, v in out.extra.items()},
+        )
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def get_save_info(self, extra_info: Optional[Dict[str, Any]] = None) -> Dict:
+        info = dict(self.extra_info)
+        info.update(extra_info or {})
+        return {
+            THRE3D_REPR: self.grid,
+            RENDER_CONFIG: self.render_config,
+            EXTRA_INFO: info,
+        }
+
+    def save(self, path: Path, extra_info: Optional[Dict[str, Any]] = None) -> None:
+        save_volumetric_model(self, Path(path), extra_info)
+
+
+# ----------------------------------------------------------------------------------
+# chunked full-image render (jitted once per (num_rays, config) bucket)
+# ----------------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _chunked_render(
+    grid: VoxelGrid,
+    rays: Rays,
+    config: SHVoxGridRenderConfig,
+    attn: bool,
+    use_orig_densities: bool,
+    num_rays: int,
+) -> RenderOut:
+    chunk = min(config.parallel_rays_chunk_size, num_rays)
+    num_chunks = -(-num_rays // chunk)
+    padded = num_chunks * chunk
+
+    def pad(x):
+        return jnp.pad(x, ((0, padded - num_rays), (0, 0))).reshape(
+            num_chunks, chunk, -1
+        )
+
+    rays_chunks = Rays(pad(rays.origins), pad(rays.directions))
+
+    def render_chunk(chunk_rays: Rays) -> RenderOut:
+        if attn:
+            return render_sh_voxel_grid_attn(
+                grid, chunk_rays, config, key=None, use_orig_densities=use_orig_densities
+            )
+        return render_sh_voxel_grid(grid, chunk_rays, config, key=None)
+
+    out = jax.lax.map(render_chunk, rays_chunks)
+    unpad = lambda t: t.reshape(padded, -1)[:num_rays]
+    return RenderOut(
+        colour=unpad(out.colour),
+        depth=unpad(out.depth),
+        extra={k: unpad(v) for k, v in out.extra.items()},
+    )
+
+
+# ----------------------------------------------------------------------------------
+# serialization
+# ----------------------------------------------------------------------------------
+
+
+def save_volumetric_model(
+    model: VolumetricModel, path: Path, extra_info: Optional[Dict[str, Any]] = None
+) -> None:
+    """Write a pickle-free checkpoint (npz container, any file extension)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    grid = model.grid
+    arrays = {
+        "_densities": np.asarray(grid.densities),
+        "_features": np.asarray(grid.features),
+    }
+    if grid.attn is not None:
+        arrays["_attn"] = np.asarray(grid.attn)
+    if grid.orig_densities is not None:
+        arrays["_orig_densities"] = np.asarray(grid.orig_densities)
+
+    info = dict(model.extra_info)
+    info.update(extra_info or {})
+    meta = {
+        "format": "voxe_tpu.volumetric_model.v1",
+        "grid_config": grid.config.to_json_dict(),
+        "render_config": _render_config_to_json(model.render_config),
+        EXTRA_INFO: _jsonify(info),
+    }
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    path.write_bytes(buf.getvalue())
+
+
+def load_volumetric_model(
+    path: Path, with_attn: bool = False
+) -> Tuple[VolumetricModel, Dict[str, Any]]:
+    """Load a checkpoint; with `with_attn`, injects a -20-initialized attn
+    channel when the checkpoint has none (reference voxels.py:501-517).
+
+    Returns (model, extra_info).
+    """
+    with np.load(Path(path), allow_pickle=False) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+        densities = jnp.asarray(data["_densities"])
+        features = jnp.asarray(data["_features"])
+        attn = jnp.asarray(data["_attn"]) if "_attn" in data else None
+        orig = jnp.asarray(data["_orig_densities"]) if "_orig_densities" in data else None
+
+    if with_attn and attn is None:
+        attn = jnp.full_like(densities, -20.0)
+
+    grid = VoxelGrid(
+        densities=densities,
+        features=features,
+        config=VoxelGridConfig.from_json_dict(meta["grid_config"]),
+        attn=attn,
+        orig_densities=orig,
+    )
+    render_config = _render_config_from_json(meta["render_config"])
+    extra_info = meta.get(EXTRA_INFO, {})
+    model = VolumetricModel(grid, render_config, extra_info)
+    return model, extra_info
+
+
+def _render_config_to_json(cfg: SHVoxGridRenderConfig) -> Dict[str, Any]:
+    import dataclasses
+
+    d = dataclasses.asdict(cfg)
+    d["camera_bounds"] = [float(cfg.camera_bounds.near), float(cfg.camera_bounds.far)]
+    return d
+
+
+def _render_config_from_json(d: Dict[str, Any]) -> SHVoxGridRenderConfig:
+    d = dict(d)
+    d["camera_bounds"] = CameraBounds(*[float(v) for v in d["camera_bounds"]])
+    return SHVoxGridRenderConfig(**d)
+
+
+def _jsonify(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, (np.ndarray, jnp.ndarray)):
+        return np.asarray(obj).tolist()
+    return obj
