@@ -1,0 +1,286 @@
+"""Posed-images dataset: images dir + `*_camera_params.json`.
+
+Rebuild of reference: thre3d_atom/data/datasets.py:32-390 with a TPU-first
+data path: all images decode ONCE into a dense [N, H, W, 3] float32 array that
+is `jax.device_put` to HBM (the grids/datasets involved are small — a 100-image
+800² scene is ~730 MB; the reference's GPU->CPU->lazy fallback chain becomes a
+simple host/device switch). Batches are drawn as index arrays; there is no
+worker pool to manage.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from voxe_tpu.data.constants import (
+    BOUNDS,
+    DIRECTION,
+    EXTRINSIC,
+    FOCAL,
+    HEIGHT,
+    INTRINSIC,
+    ROTATION,
+    TRANSLATION,
+    WIDTH,
+)
+from voxe_tpu.utils.camera import (
+    CameraBounds,
+    CameraIntrinsics,
+    CameraPose,
+    adjust_dynamic_range,
+)
+from voxe_tpu.utils.logging import log
+
+
+class PosedImagesDataset:
+    def __init__(
+        self,
+        images_dir: Path,
+        camera_params_json: Path,
+        image_data_range: Tuple[float, float] = (0.0, 1.0),
+        normalize_scene_scale: bool = False,
+        downsample_factor: float = 1.0,
+        rgba_white_bkgd: bool = False,
+        directional: bool = False,
+        cache_on_device: bool = True,
+    ) -> None:
+        images_dir, camera_params_json = Path(images_dir), Path(camera_params_json)
+        assert images_dir.exists(), f"Images dir doesn't exist: {images_dir}"
+        assert camera_params_json.exists(), (
+            f"CameraParams file doesn't exist: {camera_params_json}"
+        )
+
+        self.directional = directional
+        self._images_dir = images_dir
+        self._camera_params_json = camera_params_json
+        self._image_data_range = tuple(image_data_range)
+        self._normalize_scene_scale_bool = normalize_scene_scale
+        self._downsample_factor = downsample_factor
+        self._rgba_white_bkgd = rgba_white_bkgd
+        self._cache_on_device = cache_on_device
+
+        with open(camera_params_json) as f:
+            self._camera_parameters: Dict[str, Any] = json.load(f)
+        self._image_file_paths = self._filter_image_file_paths(
+            sorted(images_dir.iterdir()), self._camera_parameters
+        )
+
+        self._camera_bounds = self._setup_camera_bounds()
+        self._camera_intrinsics = self._setup_camera_intrinsics()
+
+        if normalize_scene_scale:
+            self._normalize_scene_scale()
+
+        # ---- eager decode into dense arrays (host), then optional device put
+        images, poses, directions = [], [], []
+        for path in self._image_file_paths:
+            images.append(self._process_image(Image.open(path)))
+            params = self._camera_parameters[path.name]
+            pose = self.extract_pose(params)
+            poses.append(np.hstack((pose.rotation, pose.translation)))
+            if directional:
+                directions.append(self.extract_dir(params))
+        self._images = np.stack(images).astype(np.float32)  # [N, H, W, 3]
+        self._poses = np.stack(poses).astype(np.float32)  # [N, 3, 4]
+        self._directions: Optional[List[str]] = directions if directional else None
+
+        if self._image_data_range != (0.0, 1.0):
+            self._images = adjust_dynamic_range(
+                self._images, (0.0, 1.0), self._image_data_range
+            )
+
+        self._device_images = None
+        self._device_poses = None
+        log.info(
+            f"PosedImagesDataset: {len(self._images)} images at "
+            f"[{self._camera_intrinsics.height} x {self._camera_intrinsics.width}]"
+        )
+
+    # ------------------------------------------------------------------
+    # array access
+    # ------------------------------------------------------------------
+    @property
+    def images(self) -> np.ndarray:
+        """[N, H, W, 3] float32 (channels-last — TPU layout)."""
+        return self._images
+
+    @property
+    def poses(self) -> np.ndarray:
+        """[N, 3, 4] float32 rows of [R | t]."""
+        return self._poses
+
+    @property
+    def directions(self) -> Optional[List[str]]:
+        return self._directions
+
+    def device_arrays(self):
+        """(images, poses) as jax arrays resident on the default device."""
+        if self._device_images is None:
+            import jax
+
+            if self._cache_on_device:
+                self._device_images = jax.device_put(self._images)
+                self._device_poses = jax.device_put(self._poses)
+            else:  # host-resident jnp views
+                import jax.numpy as jnp
+
+                self._device_images = jnp.asarray(self._images)
+                self._device_poses = jnp.asarray(self._poses)
+        return self._device_images, self._device_poses
+
+    def iter_batches(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None
+    ) -> Iterator[np.ndarray]:
+        """Infinite iterator over shuffled index batches (replaces the
+        reference's DataLoader + infinite_dataloader, data/utils.py:44-47)."""
+        rng = rng or np.random.default_rng()
+        n = len(self)
+        batch_size = min(batch_size, n)
+        while True:
+            perm = rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                yield perm[i : i + batch_size]
+
+    # ------------------------------------------------------------------
+    # reference-parity accessors
+    # ------------------------------------------------------------------
+    @property
+    def camera_bounds(self) -> CameraBounds:
+        return self._camera_bounds
+
+    @camera_bounds.setter
+    def camera_bounds(self, camera_bounds: CameraBounds) -> None:
+        self._camera_bounds = camera_bounds
+
+    @property
+    def camera_intrinsics(self) -> CameraIntrinsics:
+        return self._camera_intrinsics
+
+    @property
+    def camera_parameters(self) -> Dict[str, Any]:
+        return self._camera_parameters
+
+    def get_config_dict(self) -> Dict[str, Any]:
+        return {
+            "images_dir": self._images_dir,
+            "camera_params_json": self._camera_params_json,
+            "image_data_range": self._image_data_range,
+            "normalize_scene_scale": self._normalize_scene_scale_bool,
+            "downsample_factor": self._downsample_factor,
+            "rgba_white_bkgd": self._rgba_white_bkgd,
+        }
+
+    @staticmethod
+    def _filter_image_file_paths(
+        image_file_paths: List[Path], camera_parameters: Dict[str, Any]
+    ) -> List[Path]:
+        """Keep only images that have a pose (reference datasets.py:156-169)."""
+        if len(image_file_paths) == len(camera_parameters):
+            return image_file_paths
+        return [p for p in image_file_paths if p.name in camera_parameters]
+
+    def _normalize_scene_scale(self) -> None:
+        """Scale camera locations into the unit-norm ball
+        (reference datasets.py:218-249)."""
+        all_locations = np.concatenate(
+            [
+                self.extract_pose(p).translation
+                for p in self._camera_parameters.values()
+            ],
+            axis=-1,
+        )
+        max_norm = float(np.max(np.linalg.norm(all_locations, axis=0)))
+        for params in self._camera_parameters.values():
+            translation = params[EXTRINSIC][TRANSLATION]
+            for row in range(3):
+                translation[row][0] = str(float(translation[row][0]) / max_norm)
+        self._camera_bounds = CameraBounds(
+            self._camera_bounds.near / max_norm, self._camera_bounds.far / max_norm
+        )
+
+    def get_hemispherical_radius_estimate(self) -> float:
+        """Mean camera-origin norm (reference datasets.py:251-264)."""
+        all_camera_locations = np.squeeze(
+            np.array(
+                [
+                    params[EXTRINSIC][TRANSLATION]
+                    for params in self._camera_parameters.values()
+                ]
+            ).astype(np.float32)
+        )
+        return float(np.linalg.norm(all_camera_locations, axis=-1).mean())
+
+    def _setup_camera_bounds(self) -> CameraBounds:
+        all_bounds = np.vstack(
+            [
+                np.array(params[INTRINSIC][BOUNDS]).astype(np.float32)
+                for params in self._camera_parameters.values()
+            ]
+        )
+        return CameraBounds(float(all_bounds.min() * 0.9), float(all_bounds.max() * 1.1))
+
+    def _setup_camera_intrinsics(self) -> CameraIntrinsics:
+        all_intrinsics = np.vstack(
+            [
+                np.array(
+                    [
+                        params[INTRINSIC][HEIGHT],
+                        params[INTRINSIC][WIDTH],
+                        params[INTRINSIC][FOCAL],
+                    ]
+                ).astype(np.float32)
+                for params in self._camera_parameters.values()
+            ]
+        )
+        assert np.all(all_intrinsics == all_intrinsics[0, :]), (
+            "all cameras must share intrinsics"
+        )
+        height, width, focal = all_intrinsics[0, :] / self._downsample_factor
+        return CameraIntrinsics(int(height), int(width), float(focal))
+
+    def _process_image(self, image: Image.Image) -> np.ndarray:
+        """Decode -> resize -> RGBA handling -> [H, W, 3] float32 in [0, 1]
+        (reference datasets.py:298-316)."""
+        target = (self._camera_intrinsics.width, self._camera_intrinsics.height)
+        if image.size != target:
+            image = image.resize(target, Image.BILINEAR)
+        arr = np.asarray(image).astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        if arr.shape[-1] > 3:
+            if arr.shape[-1] == 4:
+                rgb, alpha = arr[..., :3], arr[..., 3:]
+                if self._rgba_white_bkgd:
+                    arr = rgb * alpha + (1.0 - alpha)
+                else:
+                    arr = rgb * alpha  # premultiply
+            else:
+                arr = arr[..., :3]
+        return arr
+
+    @staticmethod
+    def extract_pose(camera_params: Dict[str, Any]) -> CameraPose:
+        rotation = np.array(camera_params[EXTRINSIC][ROTATION]).astype(np.float32)
+        translation = np.array(camera_params[EXTRINSIC][TRANSLATION]).astype(np.float32)
+        return CameraPose(rotation, translation)
+
+    @staticmethod
+    def extract_dir(camera_params: Dict[str, Any]) -> str:
+        return str(camera_params[DIRECTION])
+
+    def __len__(self) -> int:
+        return len(self._image_file_paths)
+
+    def __getitem__(self, index: int):
+        if self.directional:
+            return (
+                self._images[index],
+                self._poses[index],
+                self._directions[index],
+                index,
+            )
+        return self._images[index], self._poses[index], index

@@ -1,0 +1,358 @@
+"""Reconstruction trainer: fit an SH voxel grid to posed images.
+
+Rebuild of reference: thre3d_atom/modules/trainers.py:55-529 with TPU-first
+restructuring of the hot loop:
+
+* The whole iteration — pixel/ray draw, ray casting, dual (specular+diffuse)
+  render, L1 losses, Adam update — is ONE jitted function. Rays are cast only
+  for the sampled pixel indices (the reference casts every ray of the image
+  batch then subsamples, trainers.py:291-313).
+* The diffuse-regularization render shares the grid gather with the specular
+  render: one interpolation pass feeds both the full-SH and the deg-0 SH
+  shading (the reference renders the scene twice end-to-end,
+  trainers.py:316-340 — pure 2x memory-bandwidth waste).
+* Multi-device: the step can be sharded over a `rays` axis of a
+  jax.sharding.Mesh via voxe_tpu.parallel (grads psum automatically).
+"""
+from __future__ import annotations
+
+import time
+from datetime import timedelta
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from voxe_tpu.data.dataset import PosedImagesDataset
+from voxe_tpu.grid.voxels import VoxelGrid, scale_voxel_grid
+from voxe_tpu.models.volumetric import VolumetricModel
+from voxe_tpu.render.accumulate import accumulate_radiance_density_on_rays
+from voxe_tpu.render.interface import SHVoxGridRenderConfig, _sample
+from voxe_tpu.render.process import _shade_and_mask
+from voxe_tpu.render.rays import Rays
+from voxe_tpu.grid.voxels import grid_query
+from voxe_tpu.utils.camera import CameraIntrinsics, CameraPose
+from voxe_tpu.utils.constants import (
+    CAMERA_BOUNDS,
+    CAMERA_INTRINSICS,
+    HEMISPHERICAL_RADIUS,
+    NUM_COLOUR_CHANNELS,
+)
+from voxe_tpu.utils.logging import log
+from voxe_tpu.utils.metrics import mse2psnr
+from voxe_tpu.utils.misc import compute_thre3d_grid_sizes
+
+
+def cast_rays_at_indices(
+    intrinsics: CameraIntrinsics,
+    poses: jnp.ndarray,  # [B, 3, 4]
+    flat_indices: jnp.ndarray,  # [R] indices into B*H*W
+) -> Rays:
+    """Cast only the rays addressed by flat (image, pixel) indices."""
+    height, width, focal = intrinsics.height, intrinsics.width, intrinsics.focal
+    pixels_per_image = height * width
+    img_idx = flat_indices // pixels_per_image
+    pix_idx = flat_indices % pixels_per_image
+    y = (pix_idx // width).astype(jnp.float32) + 0.5
+    x = (pix_idx % width).astype(jnp.float32) + 0.5
+
+    dirs = jnp.stack(
+        [
+            (x - width * 0.5) / focal,
+            -(y - height * 0.5) / focal,
+            -jnp.ones_like(x),
+        ],
+        axis=-1,
+    )  # [R, 3]
+    rot = poses[img_idx, :, :3]  # [R, 3, 3]
+    trans = poses[img_idx, :, 3]  # [R, 3]
+    rays_d = jnp.einsum("rij,rj->ri", rot, dirs)
+    return Rays(trans, rays_d)
+
+
+def render_specular_and_diffuse(
+    grid: VoxelGrid,
+    rays: Rays,
+    config: SHVoxGridRenderConfig,
+    key: Optional[jax.Array],
+):
+    """One grid gather -> two composited renders (full SH + diffuse deg-0)."""
+    sampled = _sample(grid, rays, config, key)
+    num_rays, num_samples, _ = sampled.points.shape
+    flat_points = sampled.points.reshape(-1, 3)
+    interpolated = grid_query(grid, flat_points)
+
+    spec = _shade_and_mask(
+        grid, flat_points, interpolated, rays, num_samples,
+        NUM_COLOUR_CHANNELS, render_diffuse=False,
+    )
+    diff = _shade_and_mask(
+        grid, flat_points, interpolated, rays, num_samples,
+        NUM_COLOUR_CHANNELS, render_diffuse=True,
+    )
+    out_spec = accumulate_radiance_density_on_rays(
+        spec, sampled.depths, rays, white_bkgd=config.white_bkgd
+    )
+    out_diff = accumulate_radiance_density_on_rays(
+        diff, sampled.depths, rays, white_bkgd=config.white_bkgd
+    )
+    return out_spec, out_diff
+
+
+def make_recon_train_step(
+    intrinsics: CameraIntrinsics,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    ray_batch_size: int,
+    apply_diffuse_render_regularization: bool = True,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted per-iteration update.
+
+    signature: step(grid, opt_state, images [N,H,W,3], poses [N,3,4],
+                    batch_indices [B], key) -> (grid, opt_state, metrics)
+    """
+
+    def step(grid, opt_state, images, poses, batch_indices, key):
+        k_idx, k_render = jax.random.split(key)
+        batch_images = images[batch_indices]  # [B, H, W, 3]
+        batch_poses = poses[batch_indices]  # [B, 3, 4]
+        total_pixels = batch_images.shape[0] * batch_images.shape[1] * batch_images.shape[2]
+
+        flat_idx = jax.random.randint(k_idx, (ray_batch_size,), 0, total_pixels)
+        pixels = batch_images.reshape(-1, 3)[flat_idx]
+        rays = cast_rays_at_indices(intrinsics, batch_poses, flat_idx)
+
+        def loss_fn(g):
+            out_spec, out_diff = render_specular_and_diffuse(
+                g, rays, render_config, k_render
+            )
+            spec_l1 = jnp.mean(jnp.abs(out_spec.colour - pixels))
+            spec_mse = jnp.mean((out_spec.colour - pixels) ** 2)
+            total = spec_l1
+            diff_l1 = diff_mse = jnp.zeros(())
+            if apply_diffuse_render_regularization:
+                diff_l1 = jnp.mean(jnp.abs(out_diff.colour - pixels))
+                diff_mse = jnp.mean((out_diff.colour - pixels) ** 2)
+                total = total + diff_l1
+            return total, dict(
+                specular_loss=spec_l1,
+                diffuse_loss=diff_l1,
+                specular_psnr=mse2psnr(spec_mse),
+                diffuse_psnr=mse2psnr(diff_mse),
+            )
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        return new_grid, new_opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def train_sh_vox_grid_vol_mod_with_posed_images(
+    vol_mod: VolumetricModel,
+    train_dataset: PosedImagesDataset,
+    output_dir: Path,
+    test_dataset: Optional[PosedImagesDataset] = None,
+    image_batch_cache_size: int = 8,
+    ray_batch_size: int = 32768,
+    num_stages: int = 4,
+    num_iterations_per_stage: int = 2000,
+    scale_factor: float = 2.0,
+    learning_rate: float = 0.03,
+    lr_decay_gamma_per_stage: float = 0.1,
+    lr_decay_steps_per_stage: int = 1000,
+    stagewise_lr_decay_gamma: float = 0.9,
+    render_feedback_pose: Optional[CameraPose] = None,
+    save_freq: int = 1000,
+    test_freq: int = 1000,
+    feedback_freq: int = 100,
+    summary_freq: int = 10,
+    apply_diffuse_render_regularization: bool = True,
+    verbose_rendering: bool = True,
+    fast_debug_mode: bool = False,
+    seed: int = 42,
+    grid_random_init_range: tuple = (-1.0, 1.0),
+    num_devices: int = 1,
+) -> VolumetricModel:
+    """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506)."""
+    output_dir = Path(output_dir)
+    model_dir = output_dir / "saved_models"
+    logs_dir = output_dir / "training_logs"
+    render_dir = logs_dir / "rendered_output"
+    for d in (model_dir, logs_dir, render_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(str(logs_dir / "tensorboard"))
+    except Exception:  # pragma: no cover
+        tb_writer = None
+
+    # stagewise grid sizes (smallest first) + per-stage downsampled datasets
+    final_dims = vol_mod.grid.grid_dims
+    stagewise_sizes = compute_thre3d_grid_sizes(final_dims, num_stages, scale_factor)
+
+    dataset_config = train_dataset.get_config_dict()
+    base_downsample = dataset_config["downsample_factor"]
+    stagewise_datasets = [train_dataset]
+    for stage in range(1, num_stages):
+        cfg = dict(dataset_config)
+        cfg["downsample_factor"] = base_downsample * (scale_factor**stage)
+        stagewise_datasets.insert(0, PosedImagesDataset(**cfg))
+
+    # downscale grid to the smallest stage and re-randomize (reference
+    # trainers.py:152-162: start training from scratch at the coarsest stage)
+    key = jax.random.PRNGKey(seed)
+    key, k_dens, k_feat = jax.random.split(key, 3)
+    grid = scale_voxel_grid(vol_mod.grid, stagewise_sizes[0])
+    lo, hi = grid_random_init_range
+    grid = grid.replace(
+        densities=jax.random.uniform(k_dens, grid.densities.shape, minval=lo, maxval=hi),
+        features=jax.random.uniform(k_feat, grid.features.shape, minval=lo, maxval=hi),
+    )
+
+    # feedback pose defaults to the first test (or train) frame
+    feedback_dataset = test_dataset if test_dataset is not None else train_dataset
+    if render_feedback_pose is None:
+        pose0 = feedback_dataset.poses[0]
+        render_feedback_pose = CameraPose(
+            rotation=pose0[:, :3], translation=pose0[:, 3:]
+        )
+
+    camera_bounds = train_dataset.camera_bounds
+    camera_intrinsics = train_dataset.camera_intrinsics
+    hemispherical_radius = train_dataset.get_hemispherical_radius_estimate()
+    extra_info = {
+        CAMERA_BOUNDS: list(camera_bounds),
+        CAMERA_INTRINSICS: list(camera_intrinsics),
+        HEMISPHERICAL_RADIUS: hemispherical_radius,
+    }
+
+    rng = np.random.default_rng(seed)
+    log.info("beginning reconstruction training")
+    time_training = 0.0
+    global_step = 0
+
+    for stage in range(1, num_stages + 1):
+        stage_dataset = stagewise_datasets[stage - 1]
+        images, poses = stage_dataset.device_arrays()
+        batch_iter = stage_dataset.iter_batches(image_batch_cache_size, rng)
+
+        stage_lr = learning_rate * (stagewise_lr_decay_gamma ** (stage - 1))
+        schedule = optax.exponential_decay(
+            init_value=stage_lr,
+            transition_steps=lr_decay_steps_per_stage,
+            decay_rate=lr_decay_gamma_per_stage,
+            staircase=True,
+        )
+        optimizer = optax.adam(schedule, b1=0.9, b2=0.999)
+        opt_state = optimizer.init(grid)
+
+        stage_render_config = vol_mod.render_config.replace(
+            num_samples_per_ray=vol_mod.render_config.num_samples_per_ray,
+        )
+        stage_ray_batch = min(
+            ray_batch_size,
+            image_batch_cache_size
+            * stage_dataset.camera_intrinsics.height
+            * stage_dataset.camera_intrinsics.width,
+        )
+        train_step = make_recon_train_step(
+            stage_dataset.camera_intrinsics,
+            stage_render_config,
+            optimizer,
+            stage_ray_batch,
+            apply_diffuse_render_regularization,
+        )
+
+        log.info(
+            f"training stage: {stage}  grid: {grid.grid_dims}  "
+            f"images: [{stage_dataset.camera_intrinsics.height} x "
+            f"{stage_dataset.camera_intrinsics.width}]  lr: {stage_lr:.5f}"
+        )
+
+        last_time = time.perf_counter()
+        for stage_iteration in range(1, num_iterations_per_stage + 1):
+            batch_indices = jnp.asarray(next(batch_iter))
+            key, step_key = jax.random.split(key)
+            grid, opt_state, metrics = train_step(
+                grid, opt_state, images, poses, batch_indices, step_key
+            )
+            global_step += 1
+
+            last_iter = stage_iteration == num_iterations_per_stage
+            if (
+                global_step % summary_freq == 0
+                or stage_iteration == 1
+                or last_iter
+            ):
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                time_training += time.perf_counter() - last_time
+                log.info(
+                    f"Stage: {stage} Global: {global_step} "
+                    + " ".join(f"{k}: {v:.3f}" for k, v in metrics_host.items())
+                )
+                if tb_writer is not None:
+                    for k, v in metrics_host.items():
+                        tb_writer.add_scalar(k, v, global_step=global_step)
+                last_time = time.perf_counter()
+
+            if (
+                global_step % feedback_freq == 0 or stage_iteration == 1 or last_iter
+            ) and not fast_debug_mode:
+                from voxe_tpu.viz.static import (
+                    visualize_sh_vox_grid_vol_mod_rendered_feedback,
+                )
+
+                feedback_model = VolumetricModel(grid, vol_mod.render_config)
+                visualize_sh_vox_grid_vol_mod_rendered_feedback(
+                    feedback_model,
+                    "default",
+                    render_feedback_pose,
+                    camera_intrinsics,
+                    global_step,
+                    render_dir,
+                    training_time=time_training,
+                )
+                last_time = time.perf_counter()
+
+            if (
+                test_dataset is not None
+                and not fast_debug_mode
+                and (global_step % test_freq == 0 or last_iter)
+            ):
+                from voxe_tpu.train.testers import (
+                    test_sh_vox_grid_vol_mod_with_posed_images,
+                )
+
+                test_model = VolumetricModel(grid, vol_mod.render_config)
+                test_sh_vox_grid_vol_mod_with_posed_images(
+                    test_model, test_dataset, tb_writer, global_step
+                )
+                last_time = time.perf_counter()
+
+            if global_step % save_freq == 0 or stage_iteration == 1 or last_iter:
+                snapshot = VolumetricModel(grid, vol_mod.render_config)
+                snapshot.save(
+                    model_dir / f"model_stage_{stage}_iter_{global_step}.pth",
+                    extra_info=extra_info,
+                )
+
+        if stage != num_stages:
+            grid = scale_voxel_grid(grid, stagewise_sizes[stage])
+
+    vol_mod.grid = grid
+    vol_mod.extra_info.update(extra_info)
+    vol_mod.save(model_dir / "model_final.pth", extra_info=extra_info)
+    log.info(
+        f"Training complete; actual training time: {timedelta(seconds=time_training)}"
+    )
+    return vol_mod

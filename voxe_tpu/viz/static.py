@@ -1,0 +1,123 @@
+"""Static feedback visualizations: colour/depth/acc panels per training step.
+
+Rebuild of reference: thre3d_atom/visualizations/static.py:84-281.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from voxe_tpu.utils.camera import (
+    CameraIntrinsics,
+    CameraPose,
+    adjust_dynamic_range,
+    to8b,
+)
+from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+
+
+def postprocess_depth_map(
+    depth_map: np.ndarray, acc_map: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Magma-colormapped depth with optional white-background compositing
+    (reference: utils/imaging_utils.py:93-125)."""
+    from matplotlib import pyplot as plt
+
+    depth_map = np.asarray(depth_map)
+    if depth_map.ndim == 3 and depth_map.shape[-1] == 1:
+        depth_map = depth_map[..., 0]
+
+    if acc_map is not None:
+        acc_map = np.asarray(acc_map)
+        fg_depth = depth_map * np.squeeze(acc_map, axis=-1)
+        depth_min, depth_max = depth_map.min(), fg_depth.max()
+    else:
+        depth_min, depth_max = depth_map.min(), depth_map.max()
+
+    depth_map = adjust_dynamic_range(
+        depth_map, (depth_min, depth_max if depth_max > depth_min else depth_min + 1e-6),
+        (0, 1), slack=True,
+    )
+    coloured = plt.get_cmap("magma", lut=1024)(depth_map)[..., :3]
+
+    if acc_map is not None:
+        nr = coloured * acc_map + (1.0 - acc_map) ** 2
+        dr = acc_map + (1.0 - acc_map) ** 2
+        return to8b(nr / dr)
+    return to8b(coloured)
+
+
+def visualize_sh_vox_grid_vol_mod_rendered_feedback(
+    vol_mod,
+    vol_mod_name: str,
+    render_feedback_pose: CameraPose,
+    camera_intrinsics: CameraIntrinsics,
+    global_step: int,
+    feedback_logs_dir: Path,
+    training_time: float = 0.0,
+    log_diffuse_rendered_version: bool = True,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    verbose_rendering: bool = False,
+) -> None:
+    """Render colour + depth + inverted-acc side-by-side feedback PNGs
+    (reference static.py:156-223)."""
+    import imageio.v2 as imageio
+
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    out = vol_mod.render(camera_intrinsics, render_feedback_pose, **overrides)
+    colour = np.asarray(out.colour)
+    depth = np.asarray(out.depth)
+    acc = np.asarray(out.extra[EXTRA_ACCUMULATED_WEIGHTS])
+
+    depth_img = postprocess_depth_map(depth, acc_map=acc)
+    acc_img = to8b(np.repeat(1.0 - acc, 3, axis=-1))
+    panel = np.concatenate([to8b(colour), depth_img, acc_img], axis=1)
+
+    feedback_logs_dir = Path(feedback_logs_dir)
+    feedback_logs_dir.mkdir(parents=True, exist_ok=True)
+    imageio.imwrite(
+        feedback_logs_dir / f"{vol_mod_name}_iter_{global_step}.png", panel
+    )
+
+    if log_diffuse_rendered_version:
+        out_d = vol_mod.render(
+            camera_intrinsics, render_feedback_pose, render_diffuse=True, **overrides
+        )
+        imageio.imwrite(
+            feedback_logs_dir / f"{vol_mod_name}_diffuse_iter_{global_step}.png",
+            to8b(np.asarray(out_d.colour)),
+        )
+
+
+def visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
+    vol_mod,
+    vol_mod_name: str,
+    render_feedback_pose: CameraPose,
+    camera_intrinsics: CameraIntrinsics,
+    global_step: int,
+    feedback_logs_dir: Path,
+) -> None:
+    """Attn-channel feedback: jet-colormapped attn blended over the RGB render
+    (reference static.py:225-281)."""
+    import imageio.v2 as imageio
+    from matplotlib import pyplot as plt
+
+    out_rgb = vol_mod.render(camera_intrinsics, render_feedback_pose)
+    out_attn = vol_mod.render(camera_intrinsics, render_feedback_pose, attn=True)
+    rgb = np.asarray(out_rgb.colour)
+    attn = np.asarray(out_attn.colour)[..., 0]
+
+    attn_col = plt.get_cmap("jet")(np.clip(attn, 0, 1))[..., :3]
+    blend = 0.55 * rgb + 0.45 * attn_col
+    panel = np.concatenate([to8b(rgb), to8b(attn_col), to8b(blend)], axis=1)
+
+    feedback_logs_dir = Path(feedback_logs_dir)
+    feedback_logs_dir.mkdir(parents=True, exist_ok=True)
+    imageio.imwrite(
+        feedback_logs_dir / f"{vol_mod_name}_attn_iter_{global_step}.png", panel
+    )
