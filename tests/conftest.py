@@ -6,7 +6,7 @@ tests never require real TPU hardware.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # make the repo root importable regardless of pytest rootdir mechanics
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU sitecustomize force-registers the axon backend and overrides
+# JAX_PLATFORMS; config.update after import wins and pins tests to the
+# 8-device virtual CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

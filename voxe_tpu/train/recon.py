@@ -110,11 +110,16 @@ def make_recon_train_step(
     ray_batch_size: int,
     apply_diffuse_render_regularization: bool = True,
     donate: bool = True,
+    mesh=None,
 ) -> Callable:
     """Build the jitted per-iteration update.
 
     signature: step(grid, opt_state, images [N,H,W,3], poses [N,3,4],
                     batch_indices [B], key) -> (grid, opt_state, metrics)
+
+    With `mesh`, the ray batch (and every per-ray intermediate) is sharded
+    over the mesh's ray axis while grid/optimizer state stay replicated;
+    GSPMD inserts the psum gradient all-reduce.
     """
 
     def step(grid, opt_state, images, poses, batch_indices, key):
@@ -124,8 +129,18 @@ def make_recon_train_step(
         total_pixels = batch_images.shape[0] * batch_images.shape[1] * batch_images.shape[2]
 
         flat_idx = jax.random.randint(k_idx, (ray_batch_size,), 0, total_pixels)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate, shard_rays
+
+            flat_idx = shard_rays(mesh, flat_idx)
+            grid = replicate(mesh, grid)
         pixels = batch_images.reshape(-1, 3)[flat_idx]
         rays = cast_rays_at_indices(intrinsics, batch_poses, flat_idx)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import shard_rays
+
+            pixels = shard_rays(mesh, pixels)
+            rays = Rays(shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions))
 
         def loss_fn(g):
             out_spec, out_diff = render_specular_and_diffuse(

@@ -36,6 +36,20 @@ def compute_expected_density_scale_for_relu_field_grid(
     )
 
 
+class EasyDict(dict):
+    """Attribute-style dict (stand-in for the easydict dependency the
+    reference CLIs use; not installed in this image)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
 def log_config_to_disk(config: Dict, output_dir: Path, name: str = "config") -> None:
     """Dump the run configuration as a YAML-ish text file
     (reference: thre3d_atom/utils/misc.py:53-58). Written without pyyaml to

@@ -1,0 +1,169 @@
+"""Camera-path (turntable/spiral) animation renderers.
+
+Rebuild of reference: thre3d_atom/visualizations/animations.py:23-470. All
+variants share one implementation parameterized by what is rendered per frame.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from voxe_tpu.utils.camera import (
+    CameraIntrinsics,
+    CameraPose,
+    scale_camera_intrinsics,
+    to8b,
+)
+from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+from voxe_tpu.utils.logging import log
+
+
+def render_camera_path_for_volumetric_model(
+    vol_mod,
+    camera_path: Sequence[CameraPose],
+    camera_intrinsics: CameraIntrinsics,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    render_scale_factor: Optional[float] = None,
+    image_save_freq: Optional[int] = None,
+    image_save_path: Optional[Path] = None,
+) -> np.ndarray:
+    """Render RGB frames along a camera path -> [T, H, W, 3] uint8
+    (reference animations.py:23-82)."""
+    if render_scale_factor is not None:
+        camera_intrinsics = scale_camera_intrinsics(
+            camera_intrinsics, render_scale_factor
+        )
+
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    frames: List[np.ndarray] = []
+    for idx, pose in enumerate(camera_path):
+        log.info(f"rendering frame {idx + 1}/{len(camera_path)}")
+        out = vol_mod.render(camera_intrinsics, pose, **overrides)
+        frame = to8b(np.asarray(out.colour))
+        frames.append(frame)
+        if (
+            image_save_freq is not None
+            and image_save_path is not None
+            and idx % image_save_freq == 0
+        ):
+            import imageio.v2 as imageio
+
+            Path(image_save_path).mkdir(parents=True, exist_ok=True)
+            imageio.imwrite(Path(image_save_path) / f"frame_{idx}.png", frame)
+    return np.stack(frames)
+
+
+def render_camera_path_for_volumetric_model_attn(
+    vol_mod,
+    camera_path: Sequence[CameraPose],
+    camera_intrinsics: CameraIntrinsics,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    render_scale_factor: Optional[float] = None,
+    use_orig_densities: bool = False,
+) -> np.ndarray:
+    """RGB | jet-colormapped attn side-by-side frames
+    (reference animations.py:84-143)."""
+    from matplotlib import pyplot as plt
+
+    if render_scale_factor is not None:
+        camera_intrinsics = scale_camera_intrinsics(
+            camera_intrinsics, render_scale_factor
+        )
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    frames = []
+    for idx, pose in enumerate(camera_path):
+        log.info(f"rendering attn frame {idx + 1}/{len(camera_path)}")
+        out_rgb = vol_mod.render(camera_intrinsics, pose, **overrides)
+        out_attn = vol_mod.render(
+            camera_intrinsics,
+            pose,
+            attn=True,
+            use_orig_densities=use_orig_densities,
+            **overrides,
+        )
+        rgb = np.asarray(out_rgb.colour)
+        attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
+        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        frames.append(np.concatenate([to8b(rgb), to8b(attn_col)], axis=1))
+    return np.stack(frames)
+
+
+def render_camera_path_for_volumetric_model_attn_only(
+    vol_mod,
+    camera_path: Sequence[CameraPose],
+    camera_intrinsics: CameraIntrinsics,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    render_scale_factor: Optional[float] = None,
+    use_orig_densities: bool = False,
+) -> np.ndarray:
+    """Attn-channel-only frames (reference animations.py:145-200)."""
+    from matplotlib import pyplot as plt
+
+    if render_scale_factor is not None:
+        camera_intrinsics = scale_camera_intrinsics(
+            camera_intrinsics, render_scale_factor
+        )
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    frames = []
+    for idx, pose in enumerate(camera_path):
+        out_attn = vol_mod.render(
+            camera_intrinsics,
+            pose,
+            attn=True,
+            use_orig_densities=use_orig_densities,
+            **overrides,
+        )
+        attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
+        frames.append(to8b(plt.get_cmap("jet")(attn)[..., :3]))
+    return np.stack(frames)
+
+
+def render_camera_path_for_volumetric_model_attn_blend(
+    vol_mod,
+    camera_path: Sequence[CameraPose],
+    camera_intrinsics: CameraIntrinsics,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    render_scale_factor: Optional[float] = None,
+    blend_alpha: float = 0.45,
+    use_orig_densities: bool = False,
+) -> np.ndarray:
+    """Attn jet map alpha-blended over the RGB render
+    (reference animations.py:308-402)."""
+    from matplotlib import pyplot as plt
+
+    if render_scale_factor is not None:
+        camera_intrinsics = scale_camera_intrinsics(
+            camera_intrinsics, render_scale_factor
+        )
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    frames = []
+    for idx, pose in enumerate(camera_path):
+        out_rgb = vol_mod.render(camera_intrinsics, pose, **overrides)
+        out_attn = vol_mod.render(
+            camera_intrinsics,
+            pose,
+            attn=True,
+            use_orig_densities=use_orig_densities,
+            **overrides,
+        )
+        rgb = np.asarray(out_rgb.colour)
+        acc = np.asarray(out_attn.extra[EXTRA_ACCUMULATED_WEIGHTS])
+        attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
+        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        blend = (1.0 - blend_alpha) * rgb + blend_alpha * attn_col * acc
+        frames.append(to8b(blend))
+    return np.stack(frames)
