@@ -76,7 +76,7 @@ def main() -> None:
     g, s, m = step(grid, opt_state, images, poses, batch_idx, jax.random.PRNGKey(1))
     jax.block_until_ready(g.densities)
 
-    iters = 20
+    iters = 300
     t0 = time.perf_counter()
     for i in range(iters):
         g, s, m = step(g, s, images, poses, batch_idx, jax.random.PRNGKey(i))

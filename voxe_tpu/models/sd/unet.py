@@ -1,0 +1,220 @@
+"""UNet2DConditionModel (the SD denoiser) in Flax, NHWC layout.
+
+Rebuild of the diffusers UNet the reference drives for SDS and attention
+extraction (reference: thre3d_atom/thre3d_reprs/sd.py:83-85,210,157 and
+cross_attn.py:57-124). Key TPU-native differences:
+
+* Channels-last convs + bf16-friendly matmul blocks (MXU path).
+* Cross-attention capture is functional: instead of monkey-patching module
+  forwards (cross_attn.py:57-124), every cross-attn layer `sow`s its
+  (head-averaged) attention probabilities into the "attn_maps" collection
+  when `capture_attn=True`; callers collect them via
+  `apply(..., mutable=["attn_maps"])`. Layer position (down/mid/up) is
+  encoded in the module path.
+* `attention_head_dim` follows the HF config field name but is the per-level
+  NUMBER OF HEADS (HF's historical naming: SD2's [5,10,20,20] over channels
+  [320,640,1280,1280] gives 64-dim heads).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxe_tpu.models.sd.config import UNetConfig
+
+
+def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding parity)."""
+    half = dim // 2
+    exponent = -np.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent) * jnp.asarray(t, jnp.float32)[..., None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+
+        temb_out = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
+        h = h + temb_out[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    capture: str = ""  # "", or the capture tag ("down"/"mid"/"up")
+
+    @nn.compact
+    def __call__(self, hidden, context=None, capture_attn: bool = False):
+        """hidden [B, Q, C]; context [B, K, Dc] (None -> self-attention)."""
+        C = hidden.shape[-1]
+        head_dim = C // self.num_heads
+        context = hidden if context is None else context
+
+        q = nn.Dense(C, use_bias=False, name="to_q")(hidden)
+        k = nn.Dense(C, use_bias=False, name="to_k")(context)
+        v = nn.Dense(C, use_bias=False, name="to_v")(context)
+
+        def split(x):
+            return x.reshape(*x.shape[:-1], self.num_heads, head_dim).swapaxes(-3, -2)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(head_dim)
+        probs = nn.softmax(scores, axis=-1)
+
+        if capture_attn and self.capture:
+            # head-averaged [B, Q, K] map; reference AttentionStore keeps maps
+            # with Q <= 32^2 (cross_attn.py:167-202) — storage filter happens
+            # at aggregation since Q is static here
+            self.sow(
+                "attn_maps",
+                f"{self.capture}_cross",
+                jnp.mean(probs.astype(jnp.float32), axis=1),
+            )
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.swapaxes(-3, -2).reshape(*hidden.shape[:-1], C)
+        return nn.Dense(C, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        hidden = nn.Dense(C * 8, name="geglu_proj")(x)
+        a, gate = jnp.split(hidden, 2, axis=-1)
+        return nn.Dense(C, name="out_proj")(a * nn.gelu(gate))
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    capture: str = ""
+
+    @nn.compact
+    def __call__(self, hidden, context, capture_attn: bool = False):
+        hidden = hidden + CrossAttention(self.num_heads, name="attn1")(
+            nn.LayerNorm(name="norm1")(hidden)
+        )
+        hidden = hidden + CrossAttention(
+            self.num_heads, capture=self.capture, name="attn2"
+        )(nn.LayerNorm(name="norm2")(hidden), context, capture_attn=capture_attn)
+        hidden = hidden + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(hidden))
+        return hidden
+
+
+class Transformer2D(nn.Module):
+    num_heads: int
+    groups: int = 32
+    capture: str = ""
+
+    @nn.compact
+    def __call__(self, x, context, capture_attn: bool = False):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        h = nn.Conv(C, (1, 1), name="proj_in")(h)
+        h = h.reshape(B, H * W, C)
+        h = BasicTransformerBlock(
+            self.num_heads, capture=self.capture, name="transformer_blocks_0"
+        )(h, context, capture_attn=capture_attn)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), name="proj_out")(h)
+        return h + residual
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states, capture_attn: bool = False):
+        """sample [B, H, W, in_ch]; timesteps [] or [B]; context [B, T, Dc]."""
+        cfg = self.config
+        num_levels = len(cfg.block_out_channels)
+
+        # time embedding
+        temb = timestep_embedding(
+            jnp.atleast_1d(timesteps), cfg.block_out_channels[0],
+            cfg.flip_sin_to_cos, cfg.freq_shift,
+        )
+        temb = jnp.broadcast_to(temb, (sample.shape[0], temb.shape[-1]))
+        time_embed_dim = cfg.block_out_channels[0] * 4
+        temb = nn.Dense(time_embed_dim, name="time_embedding_linear_1")(temb)
+        temb = nn.Dense(time_embed_dim, name="time_embedding_linear_2")(nn.silu(temb))
+
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in")(sample)
+        skips = [h]
+
+        # ---- down path
+        for level in range(num_levels):
+            channels = cfg.block_out_channels[level]
+            is_cross = cfg.down_block_types[level] == "CrossAttnDownBlock2D"
+            for block in range(cfg.layers_per_block):
+                h = ResnetBlock2D(
+                    channels, cfg.norm_num_groups,
+                    name=f"down_{level}_resnet_{block}",
+                )(h, temb)
+                if is_cross:
+                    h = Transformer2D(
+                        cfg.attention_head_dim[level], cfg.norm_num_groups,
+                        capture="down", name=f"down_{level}_attn_{block}",
+                    )(h, encoder_hidden_states, capture_attn=capture_attn)
+                skips.append(h)
+            if level != num_levels - 1:
+                h = nn.Conv(
+                    channels, (3, 3), strides=2, padding=1,
+                    name=f"down_{level}_downsample",
+                )(h)
+                skips.append(h)
+
+        # ---- mid
+        h = ResnetBlock2D(h.shape[-1], cfg.norm_num_groups, name="mid_resnet_0")(h, temb)
+        h = Transformer2D(
+            cfg.attention_head_dim[-1], cfg.norm_num_groups, capture="mid",
+            name="mid_attn",
+        )(h, encoder_hidden_states, capture_attn=capture_attn)
+        h = ResnetBlock2D(h.shape[-1], cfg.norm_num_groups, name="mid_resnet_1")(h, temb)
+
+        # ---- up path (reversed levels)
+        for up_idx in range(num_levels):
+            level = num_levels - 1 - up_idx  # channel level being produced
+            channels = cfg.block_out_channels[level]
+            is_cross = cfg.up_block_types[up_idx] == "CrossAttnUpBlock2D"
+            for block in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock2D(
+                    channels, cfg.norm_num_groups, name=f"up_{up_idx}_resnet_{block}"
+                )(h, temb)
+                if is_cross:
+                    h = Transformer2D(
+                        cfg.attention_head_dim[level], cfg.norm_num_groups,
+                        capture="up", name=f"up_{up_idx}_attn_{block}",
+                    )(h, encoder_hidden_states, capture_attn=capture_attn)
+            if up_idx != num_levels - 1:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = nn.Conv(C, (3, 3), padding=1, name=f"up_{up_idx}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
