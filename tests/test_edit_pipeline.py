@@ -1,0 +1,153 @@
+"""End-to-end edit + refinement pipeline test at tiny scale (random SD)."""
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxe_tpu.data.synthetic import generate_synthetic_scene
+from voxe_tpu.data.dataset import PosedImagesDataset
+from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+from voxe_tpu.models.sd import StableDiffusion, tiny_test_config
+from voxe_tpu.models.volumetric import VolumetricModel, load_volumetric_model
+from voxe_tpu.render.interface import SHVoxGridRenderConfig
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return generate_synthetic_scene(
+        tmp_path_factory.mktemp("scene"),
+        num_train=4, num_test=1, image_size=32, focal=32.0, grid_res=24,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(scene):
+    return PosedImagesDataset(
+        scene / "images", scene / "train_camera_params.json", rgba_white_bkgd=True
+    )
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusion(config=tiny_test_config(), unet_dtype=jnp.float32)
+
+
+def _pretrained_model(dataset, res=16):
+    config = VoxelGridConfig(
+        voxel_size=VoxelSize(*[3.0 / res] * 3),
+        density_preactivation="identity",
+        density_postactivation="softplus",
+    )
+    densities = np.full((res, res, res, 1), -5.0, dtype=np.float32)
+    densities[4:12, 4:12, 4:12] = 10.0
+    grid = VoxelGrid(
+        jnp.asarray(densities), jnp.zeros((res, res, res, 3)), config
+    )
+    return VolumetricModel(
+        grid,
+        SHVoxGridRenderConfig(
+            num_samples_per_ray=32,
+            camera_bounds=dataset.camera_bounds,
+            white_bkgd=True,
+            render_num_samples_per_ray=48,
+            parallel_rays_chunk_size=4096,
+        ),
+    )
+
+
+def test_sds_edit_training_runs_and_changes_grid(dataset, sd, tmp_path):
+    from voxe_tpu.train.sds import (
+        train_sh_vox_grid_vol_mod_with_posed_images_and_sds,
+    )
+
+    pretrained = _pretrained_model(dataset)
+    import copy
+
+    sds_model = VolumetricModel(
+        copy.deepcopy(pretrained.grid), pretrained.render_config
+    )
+    before = np.asarray(pretrained.grid.densities).copy()
+
+    out = train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
+        sds_vol_mod=sds_model,
+        pretrained_vol_mod=pretrained,
+        train_dataset=dataset,
+        image_dims=(32, 32),
+        output_dir=tmp_path / "edit",
+        ray_batch_size=1024,
+        num_iterations=4,
+        sds_prompt="a yarn doll",
+        density_correlation_weight=200.0,
+        summary_freq=2,
+        feedback_freq=100,
+        save_freq=100,
+        sd_model=sd,
+        fast_debug_mode=True,
+    )
+    after = np.asarray(out.grid.densities)
+    assert not np.allclose(before, after)  # SDS gradients reached the grid
+    final = tmp_path / "edit" / "saved_models" / "model_final.pth"
+    assert final.exists()
+    # ref grid must be untouched
+    np.testing.assert_array_equal(before, np.asarray(pretrained.grid.densities))
+
+
+def test_refinement_pipeline_end_to_end(dataset, sd, tmp_path):
+    from voxe_tpu.train.refine import refine_edited_relu_field
+
+    pretrained = _pretrained_model(dataset)
+    edited = _pretrained_model(dataset)
+    # make the "edited" grid differ inside a sub-blob
+    dens = np.asarray(edited.grid.densities).copy()
+    dens[8:12, 8:12, 8:12] += 3.0
+    attn = jnp.full_like(edited.grid.densities, -20.0)
+
+    def with_attn(model):
+        return VolumetricModel(
+            model.grid.replace(
+                densities=jnp.asarray(dens), attn=attn
+            ),
+            model.render_config,
+        )
+
+    vm_edit, vm_obj, vm_out = (
+        with_attn(edited),
+        with_attn(edited),
+        with_attn(edited),
+    )
+
+    refine_edited_relu_field(
+        vol_mod_edit=vm_edit,
+        vol_mod_object=vm_obj,
+        vol_mod_output=vm_out,
+        vol_mod_ref=pretrained,
+        train_dataset=dataset,
+        output_dir=tmp_path / "refine",
+        prompt="a dog wearing a party hat",
+        edit_idx=[4, 5],
+        timestamp=200,
+        image_dims=(32, 32),
+        num_iterations=3,
+        summary_freq=1,
+        feedback_freq=100,
+        save_freq=100,
+        num_obj_voxels_thresh=100,
+        min_num_edit_voxels=5,
+        top_k_edit_thresh=20,
+        top_k_obj_thresh=20,
+        sd_model=sd,
+        fast_debug_mode=True,
+    )
+
+    saved = tmp_path / "refine" / "saved_models"
+    assert (saved / "model_final_attn_edit.pth").exists()
+    assert (saved / "model_final_attn_object.pth").exists()
+    assert (saved / "model_final_refined.pth").exists()
+
+    refined, _ = load_volumetric_model(saved / "model_final_refined.pth", with_attn=True)
+    keep = np.asarray(refined.grid.attn)
+    # the keep grid carries the graph-cut labels {-10, -5, 0}
+    assert set(np.unique(keep)).issubset({-10.0, -5.0, 0.0})
+    # attn training actually moved the attn grids
+    assert not np.allclose(np.asarray(vm_edit.grid.attn), np.asarray(attn))

@@ -1,0 +1,109 @@
+"""Native segmentation backend tests: maxflow min-cut + connected components."""
+import numpy as np
+import pytest
+
+from voxe_tpu.seg.native import largest_k, maxflow_mincut
+
+
+def test_maxflow_two_cluster_cut():
+    # 4-node chain: 0-1-2-3 with a weak middle edge; node 0 seeded edit,
+    # node 3 seeded object -> cut at the weak edge
+    edge_u = np.array([0, 1, 2], dtype=np.int32)
+    edge_v = np.array([1, 2, 3], dtype=np.int32)
+    caps = np.array([10.0, 0.1, 10.0], dtype=np.float32)
+    cap_src = np.array([1e30, 0, 0, 0], dtype=np.float32)
+    cap_snk = np.array([0, 0, 0, 1e30], dtype=np.float32)
+    flow, labels = maxflow_mincut(4, edge_u, edge_v, caps, caps, cap_src, cap_snk)
+    assert flow == pytest.approx(0.1, rel=1e-5)
+    np.testing.assert_array_equal(labels, [0, 0, 1, 1])
+
+
+def test_maxflow_respects_capacity_ratio():
+    # diamond: source side pulls both middles unless sink edges dominate
+    edge_u = np.array([0, 0, 1, 2], dtype=np.int32)
+    edge_v = np.array([1, 2, 3, 3], dtype=np.int32)
+    caps = np.array([5.0, 1.0, 1.0, 5.0], dtype=np.float32)
+    cap_src = np.array([1e30, 0, 0, 0], dtype=np.float32)
+    cap_snk = np.array([0, 0, 0, 1e30], dtype=np.float32)
+    flow, labels = maxflow_mincut(4, edge_u, edge_v, caps, caps, cap_src, cap_snk)
+    assert flow == pytest.approx(2.0, rel=1e-5)
+    assert labels[0] == 0 and labels[3] == 1
+    assert labels[1] == 0  # strong source link, weak sink link
+    assert labels[2] == 1  # weak source link, strong sink link
+
+
+def test_largest_k_two_blobs():
+    vol = np.zeros((10, 10, 10), dtype=np.uint8)
+    vol[0:4, 0:4, 0:4] = 1  # 64 voxels (largest)
+    vol[7:9, 7:9, 7:9] = 1  # 8 voxels
+    labels, n = largest_k(vol, k=10, connectivity=26)
+    assert n == 2
+    assert labels[1, 1, 1] == 10  # largest gets label k
+    assert labels[8, 8, 8] == 9  # second largest gets k-1
+    assert labels[5, 5, 5] == 0
+
+
+def test_largest_k_diagonal_connectivity():
+    vol = np.zeros((4, 4, 4), dtype=np.uint8)
+    vol[0, 0, 0] = 1
+    vol[1, 1, 1] = 1  # diagonal neighbor: connected under 26, not under 6
+    labels26, n26 = largest_k(vol, k=3, connectivity=26)
+    labels6, n6 = largest_k(vol, k=3, connectivity=6)
+    assert n26 == 1 and n6 == 2
+
+
+def test_scc_post_process_reverts_satellites():
+    from voxe_tpu.seg.components import scc_post_process
+
+    densities = np.full((8, 8, 8, 1), -5.0, dtype=np.float32)
+    ref = np.full_like(densities, -7.0)
+    densities[0:4, 0:4, 0:4] = 3.0  # main blob (kept)
+    densities[6:8, 6:8, 6:8] = 2.0  # satellite (reverted to ref)
+    out = scc_post_process(densities, ref)
+    assert (out[0:4, 0:4, 0:4] == 3.0).all()
+    assert (out[6:8, 6:8, 6:8] == -7.0).all()
+    assert (out[4:6] == -7.0).all()  # empty space also reverted to ref
+
+
+def test_graphcut_segments_attn_blobs():
+    """Two spatial blobs with opposite attn logits -> clean segmentation."""
+    import jax.numpy as jnp
+
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.seg.graphcut import get_edit_region
+    from voxe_tpu.utils.camera import CameraBounds
+
+    res = 12
+    densities = np.full((res, res, res, 1), -1.0, dtype=np.float32)
+    densities[2:5, 2:5, 2:5] = 5.0  # blob A (edit)
+    densities[7:10, 7:10, 7:10] = 5.0  # blob B (object)
+    features = np.zeros((res, res, res, 3), dtype=np.float32)
+    features[7:10, 7:10, 7:10] = 3.0  # colour difference between blobs
+    edit_attn = np.full((res, res, res, 1), -20.0, dtype=np.float32)
+    obj_attn = np.full((res, res, res, 1), -20.0, dtype=np.float32)
+    edit_attn[2:5, 2:5, 2:5] = 2.0
+    obj_attn[7:10, 7:10, 7:10] = 2.0
+
+    def mk(attn):
+        grid = VoxelGrid(
+            jnp.asarray(densities), jnp.asarray(features), VoxelGridConfig(),
+            attn=jnp.asarray(attn),
+        )
+        return VolumetricModel(
+            grid,
+            SHVoxGridRenderConfig(num_samples_per_ray=8, camera_bounds=CameraBounds(2.0, 6.0)),
+        )
+
+    vm_edit, vm_obj, vm_out = mk(edit_attn), mk(obj_attn), mk(edit_attn)
+    segments, idxs = get_edit_region(
+        vm_edit, vm_obj, vm_out,
+        num_obj_voxels_thresh=50, min_num_edit_voxels=5,
+    )
+
+    keep = np.asarray(vm_out.grid.attn)
+    # edit blob voxels -> 0; object blob voxels -> -5; empty space -> -10
+    assert (keep[3, 3, 3] == 0.0).all()
+    assert (keep[8, 8, 8] == -5.0).all()
+    assert (keep[0, 0, 0] == -10.0).all()

@@ -11,3 +11,14 @@ Reference layer map: /root/reference (see SURVEY.md).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("VOXE_PLATFORM"):
+    # Some TPU launch environments force-register their backend and override
+    # JAX_PLATFORMS (e.g. the axon sitecustomize). jax.config.update after
+    # import wins, so VOXE_PLATFORM=cpu reliably pins the framework to a
+    # platform for tests/debugging.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VOXE_PLATFORM"])

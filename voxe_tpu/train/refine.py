@@ -1,0 +1,329 @@
+"""Attention-grid refinement trainer: learn volumetric cross-attention grids,
+graph-cut them into an edit region, and merge edited/unedited voxels.
+
+Rebuild of reference: thre3d_atom/modules/attn_grid_trainer.py:63-627 +
+refinement_functions.py:42-76 (masked attn loss).
+
+TPU-first notes: the per-iteration attn-grid update (differentiable attn
+render of BOTH grids + masked L1 + TV + two Adam updates) is one jitted
+program operating on the two attn tensors (densities/features frozen). The
+RGB render feeding SD and the attention extraction are jitted sub-programs.
+The graph cut runs once, host-side, in the native C++ backend.
+"""
+from __future__ import annotations
+
+import time
+from datetime import timedelta
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from voxe_tpu.data.dataset import PosedImagesDataset
+from voxe_tpu.models.sd.sds import StableDiffusion
+from voxe_tpu.models.volumetric import VolumetricModel
+from voxe_tpu.render.interface import render_sh_voxel_grid_attn
+from voxe_tpu.render.rays import cast_rays, flatten_rays
+from voxe_tpu.seg.graphcut import get_edit_region
+from voxe_tpu.train.losses import tv_loss_on_grid
+from voxe_tpu.train.sds import (
+    HEMISPHERICAL_RADIUS_CONSTANT,
+    get_dir_batch_from_poses,
+)
+from voxe_tpu.utils.camera import CameraPose, get_random_pose
+from voxe_tpu.utils.constants import (
+    CAMERA_BOUNDS,
+    CAMERA_INTRINSICS,
+    HEMISPHERICAL_RADIUS,
+)
+from voxe_tpu.utils.logging import log
+
+
+def calc_loss_on_attn_grid(attn_render, attn_map):
+    """Masked L1 between the rendered attn channel and the 2D target map:
+    only pixels where the render is positive (i.e. density present) count
+    (reference refinement_functions.py:42-76)."""
+    attn_render = attn_render.reshape(attn_map.shape)
+    mask = (attn_render > 0.0).astype(attn_map.dtype)
+    diff_masked = jnp.abs(attn_render - attn_map) * mask
+    return jnp.sum(diff_masked) / (jnp.sum(mask) + 1e-8)
+
+
+def refine_edited_relu_field(
+    vol_mod_edit: VolumetricModel,
+    vol_mod_object: VolumetricModel,
+    vol_mod_output: VolumetricModel,
+    vol_mod_ref: VolumetricModel,
+    train_dataset: PosedImagesDataset,
+    output_dir: Path,
+    prompt: str,
+    edit_idx,
+    timestamp: int,
+    image_dims: tuple,
+    *,
+    hf_auth_token: str = "",
+    object_idx: Optional[int] = None,
+    num_iterations: int = 2000,
+    ray_batch_size: int = 32768,
+    scale_factor: float = 2.0,
+    learning_rate: float = 0.03,
+    lr_decay_gamma_per_stage: float = 0.1,
+    lr_decay_steps_per_stage: int = 2000,
+    render_feedback_pose: Optional[CameraPose] = None,
+    data_pose_mode: bool = False,
+    save_freq: int = 1000,
+    feedback_freq: int = 100,
+    summary_freq: int = 10,
+    apply_diffuse_render_regularization: bool = False,
+    verbose_rendering: bool = True,
+    attn_tv_weight: float = 0.001,
+    kval: float = 5.0,
+    edit_mask_thresh: float = 0.992,
+    num_obj_voxels_thresh: int = 5000,
+    min_num_edit_voxels: int = 300,
+    top_k_edit_thresh: int = 300,
+    top_k_obj_thresh: int = 200,
+    downsample_refine_grid: bool = False,
+    sd_model: Optional[StableDiffusion] = None,
+    sd_weights_dir: Optional[Path] = None,
+    sd_config=None,
+    sd_version: str = "1.4",
+    seed: int = 42,
+    fast_debug_mode: bool = False,
+) -> None:
+    """Train edit/object attn grids against SD cross-attention maps, then
+    graph-cut + merge (reference attn_grid_trainer.py:63-627)."""
+    assert prompt != "none", "you have to supply a text prompt"
+    im_h, im_w = image_dims
+    if isinstance(edit_idx, int):
+        edit_idx = [edit_idx]
+
+    # the reference refinement stage uses SD 1.4 (attn_grid_trainer.py:154)
+    sd = sd_model or StableDiffusion(
+        sd_version, config=sd_config, weights_dir=sd_weights_dir
+    )
+
+    camera_bounds = train_dataset.camera_bounds
+    camera_intrinsics = train_dataset.camera_intrinsics
+    extra_info = {
+        CAMERA_BOUNDS: list(camera_bounds),
+        CAMERA_INTRINSICS: list(camera_intrinsics),
+        HEMISPHERICAL_RADIUS: train_dataset.get_hemispherical_radius_estimate(),
+    }
+
+    model_dir = output_dir / "saved_models"
+    logs_dir = output_dir / "training_logs"
+    render_dir = logs_dir / "rendered_output"
+    for d in (model_dir, logs_dir, render_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    # two optimizers over the two attn tensors only (reference :202-221)
+    schedule = optax.exponential_decay(
+        init_value=learning_rate,
+        transition_steps=lr_decay_steps_per_stage,
+        decay_rate=lr_decay_gamma_per_stage,
+        staircase=True,
+    )
+    optimizer_edit = optax.adam(schedule, b1=0.9, b2=0.999)
+    optimizer_object = optax.adam(schedule, b1=0.9, b2=0.999)
+
+    edit_attn = vol_mod_edit.grid.attn
+    obj_attn = vol_mod_object.grid.attn
+    opt_state_edit = optimizer_edit.init(edit_attn)
+    opt_state_object = optimizer_object.init(obj_attn)
+
+    base_grid = vol_mod_edit.grid  # densities/features frozen
+    render_config = vol_mod_edit.render_config
+
+    @jax.jit
+    def attn_train_step(
+        edit_attn, obj_attn, opt_e, opt_o, rays, edit_map, obj_map, key
+    ):
+        k1, k2 = jax.random.split(key)
+
+        def loss_fn(attn, target_map, k):
+            grid = base_grid.replace(attn=attn)
+            out = render_sh_voxel_grid_attn(grid, rays, render_config, key=k)
+            attn_loss = calc_loss_on_attn_grid(out.colour[..., 0], target_map)
+            tv = tv_loss_on_grid(attn)
+            return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
+
+        (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(edit_attn, edit_map, k1)
+        updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
+        new_edit_attn = optax.apply_updates(edit_attn, updates_e)
+
+        (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(obj_attn, obj_map, k2)
+        updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
+        new_obj_attn = optax.apply_updates(obj_attn, updates_o)
+
+        metrics = dict(
+            attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
+            attn_loss_object=attn_l_o, tv_loss_object=tv_o, total_loss_object=loss_o,
+        )
+        return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    if data_pose_mode:
+        batch_iter = train_dataset.iter_batches(1, rng)
+
+    log.info(
+        f"beginning attn-grid refinement: grid {base_grid.grid_dims}, "
+        f"frame [{im_h} x {im_w}], prompt '{prompt}', edit_idx {edit_idx}"
+    )
+    time_training = 0.0
+    last_time = time.perf_counter()
+
+    for global_step in range(1, num_iterations + 1):
+        # ---- pose (reference :253-284)
+        if data_pose_mode:
+            batch_idx = next(batch_iter)
+            pose_arr = train_dataset.poses[batch_idx[0]]
+            pose = CameraPose(rotation=pose_arr[:, :3], translation=pose_arr[:, 3:])
+            direction = get_dir_batch_from_poses(pose_arr[None])[0]
+        else:
+            pose, direction, _, _ = get_random_pose(HEMISPHERICAL_RADIUS_CONSTANT, rng)
+        rays = flatten_rays(
+            cast_rays(
+                camera_intrinsics,
+                jnp.asarray(pose.rotation),
+                jnp.asarray(pose.translation),
+            )
+        )
+
+        # ---- RGB render of the edited grid (no grad; reference :290-295)
+        rgb_model = VolumetricModel(
+            base_grid.replace(attn=edit_attn), render_config
+        )
+        rendered = rgb_model.render(camera_intrinsics, pose)
+        pred_rgb = rendered.colour[None]  # [1, H, W, 3]
+
+        # ---- SD cross-attention maps (reference :301-329)
+        m_prompt = prompt + f", {direction} view"
+        num_tokens = sd.get_num_tokens(m_prompt)
+        indices_to_fetch = list(range(1, num_tokens + 1))
+        key, k_attn, k_step = jax.random.split(key, 3)
+        gt_maps, _ = sd.get_attn_map(
+            m_prompt, pred_rgb, k_attn, timestamp=timestamp,
+            indices_to_fetch=indices_to_fetch,
+        )
+
+        edit_maps = [gt_maps[idx - 1] for idx in edit_idx]
+        edit_attn_map = jnp.max(jnp.stack(edit_maps, axis=-1), axis=-1)
+        if object_idx is None:
+            non_edit = [
+                gt_maps[idx - 1]
+                for idx in range(1, num_tokens + 1)
+                if idx not in edit_idx
+            ]
+            if not non_edit:
+                non_edit = [jnp.zeros_like(edit_attn_map)]
+            object_attn_map = jnp.max(jnp.stack(non_edit, axis=-1), axis=-1)
+        else:
+            object_attn_map = gt_maps[object_idx - 1]
+
+        # ---- jitted dual attn update (reference :335-378)
+        edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
+            attn_train_step(
+                edit_attn, obj_attn, opt_state_edit, opt_state_object,
+                rays, edit_attn_map, object_attn_map, k_step,
+            )
+        )
+
+        time_training += time.perf_counter() - last_time
+        last_iter = global_step == num_iterations
+
+        if global_step % summary_freq == 0 or global_step == 1 or last_iter:
+            log.info(
+                f"Iteration: {global_step} attn_loss: "
+                f"{float(metrics['attn_loss_edit']):.4f} "
+                f"obj: {float(metrics['attn_loss_object']):.4f}"
+            )
+
+        if (
+            global_step % feedback_freq == 0 or global_step == 1 or last_iter
+        ) and not fast_debug_mode:
+            import imageio.v2 as imageio
+            from matplotlib import pyplot as plt
+
+            from voxe_tpu.models.sd.cross_attn import normalize_attn_map
+            from voxe_tpu.viz.static import (
+                visualize_sh_vox_grid_vol_mod_rendered_feedback_attn,
+            )
+
+            jet = plt.get_cmap("jet")
+            for name, arr in (
+                (f"edit_gt_attn_{global_step}", edit_attn_map),
+                (f"object_gt_attn_{global_step}", object_attn_map),
+            ):
+                img = jet(np.asarray(normalize_attn_map(arr)))[..., :3]
+                imageio.imwrite(render_dir / f"{name}.png", (img * 255).astype(np.uint8))
+
+            feedback_pose = render_feedback_pose or pose
+            visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
+                VolumetricModel(base_grid.replace(attn=edit_attn), render_config),
+                "attn",
+                feedback_pose,
+                camera_intrinsics,
+                global_step,
+                render_dir,
+            )
+
+        if global_step % save_freq == 0 or global_step == 1 or last_iter:
+            VolumetricModel(base_grid.replace(attn=edit_attn), render_config).save(
+                model_dir / f"model_edit_iter_{global_step}.pth", extra_info=extra_info
+            )
+            VolumetricModel(base_grid.replace(attn=obj_attn), render_config).save(
+                model_dir / f"model_object_iter_{global_step}.pth", extra_info=extra_info
+            )
+
+        last_time = time.perf_counter()
+
+    # --------------------------------------
+    #  graph cut + voxel merge (reference :528-550)
+    # --------------------------------------
+    log.info("starting grid refinement (graph cut + merge)!")
+    vol_mod_edit.grid = vol_mod_edit.grid.replace(attn=edit_attn)
+    vol_mod_object.grid = vol_mod_object.grid.replace(attn=obj_attn)
+
+    get_edit_region(
+        vol_mod_edit=vol_mod_edit,
+        vol_mod_object=vol_mod_object,
+        vol_mod_output=vol_mod_output,
+        K=kval,
+        edit_mask_thresh=edit_mask_thresh,
+        num_obj_voxels_thresh=num_obj_voxels_thresh,
+        min_num_edit_voxels=min_num_edit_voxels,
+        top_k_edit_thresh=top_k_edit_thresh,
+        top_k_obj_thresh=top_k_obj_thresh,
+        downsample_grid=downsample_refine_grid,
+    )
+
+    # merge: every non-edit voxel reverts to the reference densities/features
+    keep_mask = np.asarray(vol_mod_output.grid.attn)[..., 0] != 0.0
+    new_density = np.asarray(vol_mod_output.grid.densities).copy()
+    new_features = np.asarray(vol_mod_output.grid.features).copy()
+    new_density[keep_mask] = np.asarray(vol_mod_ref.grid.densities)[keep_mask]
+    new_features[keep_mask] = np.asarray(vol_mod_ref.grid.features)[keep_mask]
+    vol_mod_output.grid = vol_mod_output.grid.replace(
+        densities=jnp.asarray(new_density), features=jnp.asarray(new_features)
+    )
+
+    # final saves (reference :591-620)
+    vol_mod_edit.save(model_dir / "model_final_attn_edit.pth", extra_info=extra_info)
+    vol_mod_object.save(
+        model_dir / "model_final_attn_object.pth", extra_info=extra_info
+    )
+    vol_mod_output.save(model_dir / "model_final_refined.pth", extra_info=extra_info)
+
+    log.info(
+        f"Refinement complete; actual training time: "
+        f"{timedelta(seconds=time_training)}"
+    )
