@@ -44,6 +44,7 @@ def main() -> None:
         voxel_size=VoxelSize(*[3.0 / res] * 3),
         density_preactivation="identity",
         density_postactivation="softplus",
+        gather_dtype="bfloat16",  # the TPU-native default (quality-neutral)
         expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
             (3.0, 3.0, 3.0)
         ),

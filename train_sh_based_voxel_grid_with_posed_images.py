@@ -108,6 +108,10 @@ from voxe_tpu.utils.misc import (
 # Additional weights:
 @click.option("--lpips_weight", type=click.FLOAT, required=False, default=0.0,
               help="weight of lpips loss (needs VGG weights available)", show_default=True)
+# TPU-native extras:
+@click.option("--gather_dtype", type=click.Choice(["float32", "bfloat16"]), required=False,
+              default="bfloat16", help="dtype of the grid table the renderer gathers from; "
+              "bfloat16 halves HBM gather traffic (quality-neutral)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -174,6 +178,7 @@ def main(**kwargs) -> None:
     grid_config = VoxelGridConfig(
         voxel_size=voxel_size,
         grid_location=VoxelGridLocation(*config.grid_location),
+        gather_dtype=config.gather_dtype,
         **activations,
     )
     # placeholder arrays; the trainer re-randomizes at the coarsest stage

@@ -1,0 +1,337 @@
+"""HF checkpoint -> voxe_tpu Flax parameter conversion.
+
+The reference downloads diffusers/transformers torch checkpoints at runtime
+(reference sd.py:77-92). This module converts a locally stored HF snapshot
+(directory with unet/, vae/, text_encoder/, tokenizer/ subfolders holding
+*.safetensors) into this framework's parameter trees.
+
+Strategy: walk OUR flax parameter tree and derive, for every leaf, the
+corresponding HF tensor name + layout transform (torch convs are OIHW ->
+flax HWIO; torch Linear kernels are [out, in] -> flax [in, out]). The walk is
+the single source of truth, so the structural round-trip test in
+tests/test_sd_weights.py guarantees converter/architecture consistency.
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxe_tpu.models.sd.config import SDConfig
+from voxe_tpu.utils.logging import log
+
+
+# ----------------------------------------------------------------------------------
+# source tensor loading
+# ----------------------------------------------------------------------------------
+
+
+def _load_tensor_files(subdir: Path) -> Dict[str, np.ndarray]:
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(subdir.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            tensors.update(load_file(str(f)))
+        return tensors
+    bin_files = sorted(subdir.glob("*.bin"))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            state = torch.load(f, map_location="cpu", weights_only=True)
+            tensors.update({k: v.numpy() for k, v in state.items()})
+        return tensors
+    raise FileNotFoundError(f"no .safetensors or .bin files under {subdir}")
+
+
+# ----------------------------------------------------------------------------------
+# transforms
+# ----------------------------------------------------------------------------------
+
+
+def _conv_kernel(t: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(t, (2, 3, 1, 0))
+
+
+def _linear_kernel(t: np.ndarray) -> np.ndarray:
+    """torch [out, in] -> flax [in, out]."""
+    return np.transpose(t, (1, 0))
+
+
+def _maybe_conv1x1_to_linear(t: np.ndarray) -> np.ndarray:
+    """HF stores some projections as 1x1 convs (SD1.x Transformer2D
+    proj_in/out, old VAE attn); our modules use Dense/Conv consistently —
+    squeeze [O, I, 1, 1] -> linear kernel."""
+    if t.ndim == 4 and t.shape[2] == 1 and t.shape[3] == 1:
+        return _linear_kernel(t[:, :, 0, 0])
+    return _linear_kernel(t)
+
+
+def _fetch(tensors: Dict[str, np.ndarray], *candidates: str) -> np.ndarray:
+    for name in candidates:
+        if name in tensors:
+            return tensors[name]
+    raise KeyError(f"none of {candidates} found in checkpoint")
+
+
+# ----------------------------------------------------------------------------------
+# HF-name derivation for our flax tree paths
+# ----------------------------------------------------------------------------------
+
+
+def _hf_names_for_clip(path: str) -> list:
+    """Our clip tree path (slash-joined) -> candidate HF tensor names."""
+    p = "text_model."
+    m = re.match(r"layers_(\d+)/(.*)", path)
+    if path.startswith("token_embedding"):
+        return [p + "embeddings.token_embedding.weight"]
+    if path.startswith("position_embedding"):
+        return [p + "embeddings.position_embedding.weight"]
+    if path.startswith("final_layer_norm"):
+        leaf = path.split("/")[-1]
+        suffix = "weight" if leaf == "scale" else "bias"
+        return [p + f"final_layer_norm.{suffix}"]
+    assert m, path
+    i, rest = m.group(1), m.group(2)
+    rest = rest.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
+    rest = rest.replace("/kernel", ".weight").replace("/bias", ".bias")
+    rest = rest.replace("/scale", ".weight")
+    rest = rest.replace("self_attn/", "self_attn.")
+    return [p + f"encoder.layers.{i}.{rest}"]
+
+
+def _vae_block_name(path: str, side: str) -> str:
+    """our encoder/decoder path -> diffusers name (without leaf)."""
+    m = re.match(r"(down|up)_(\d+)_resnet_(\d+)", path)
+    if m:
+        kind = "down_blocks" if m.group(1) == "down" else "up_blocks"
+        return f"{side}.{kind}.{m.group(2)}.resnets.{m.group(3)}"
+    m = re.match(r"down_(\d+)_downsample", path)
+    if m:
+        return f"{side}.down_blocks.{m.group(1)}.downsamplers.0.conv"
+    m = re.match(r"up_(\d+)_upsample", path)
+    if m:
+        return f"{side}.up_blocks.{m.group(1)}.upsamplers.0.conv"
+    m = re.match(r"mid_resnet_(\d+)", path)
+    if m:
+        return f"{side}.mid_block.resnets.{m.group(1)}"
+    if path == "mid_attn":
+        return f"{side}.mid_block.attentions.0"
+    if path in ("conv_in", "conv_out", "conv_norm_out"):
+        return f"{side}.{path}"
+    raise KeyError(path)
+
+
+_VAE_ATTN_ALIASES = {
+    "to_q": ("to_q", "query", "q"),
+    "to_k": ("to_k", "key", "k"),
+    "to_v": ("to_v", "value", "v"),
+    "to_out": ("to_out.0", "proj_attn", "proj_out"),
+    "group_norm": ("group_norm", "norm"),
+}
+
+
+def _leaf_suffix(leaf: str) -> str:
+    return {"kernel": "weight", "scale": "weight", "bias": "bias", "embedding": "weight"}[leaf]
+
+
+def _transform_for(leaf: str, module_kind: str, tensor: np.ndarray) -> np.ndarray:
+    if leaf in ("scale", "bias") or module_kind == "norm":
+        return tensor
+    if leaf == "embedding":
+        return tensor  # [vocab, dim] identical layout
+    if module_kind == "conv":
+        if tensor.ndim == 4:
+            return _conv_kernel(tensor)
+        # linear stored where we use conv (SD2 use_linear_projection): make 1x1
+        k = _linear_kernel(tensor)
+        return k[None, None, :, :]
+    if module_kind == "linear":
+        return _maybe_conv1x1_to_linear(tensor)
+    return tensor
+
+
+def _convert_tree(our_tree, name_fn, tensors, path=""):
+    """Recursively replace leaves of our (randomly initialized) tree with the
+    converted HF tensors; name_fn(path) -> (candidates, module_kind)."""
+    if isinstance(our_tree, dict):
+        return {
+            key: _convert_tree(
+                our_tree[key], name_fn, tensors, f"{path}/{key}" if path else key
+            )
+            for key in our_tree
+        }
+    candidates, module_kind = name_fn(path)
+    src = _fetch(tensors, *candidates)
+    leaf = path.split("/")[-1]
+    out = _transform_for(leaf, module_kind, np.asarray(src))
+    assert out.shape == tuple(our_tree.shape), (
+        f"{path}: converted shape {out.shape} != expected {tuple(our_tree.shape)} "
+        f"(source {candidates[0]} {src.shape})"
+    )
+    return jnp.asarray(out, dtype=jnp.float32)
+
+
+# ----------------------------------------------------------------------------------
+# per-model name functions
+# ----------------------------------------------------------------------------------
+
+
+def clip_name_fn(path: str):
+    leaf = path.split("/")[-1]
+    names = _hf_names_for_clip(path)
+    if "layer_norm" in path or leaf == "scale":
+        kind = "norm"
+    elif leaf == "embedding":
+        kind = "embed"
+    else:
+        kind = "linear"
+    return names, kind
+
+
+def vae_name_fn(path: str):
+    parts = path.split("/")
+    leaf = parts[-1]
+    suffix = _leaf_suffix(leaf)
+
+    if parts[0] in ("quant_conv", "post_quant_conv"):
+        return [f"{parts[0]}.{suffix}"], "conv"
+
+    side = parts[0]  # encoder/decoder
+    rest = parts[1:]
+    base = _vae_block_name(rest[0], side)
+
+    if rest[0] == "mid_attn":
+        sub = rest[1]
+        aliases = _VAE_ATTN_ALIASES.get(sub, (sub,))
+        kind = "norm" if sub == "group_norm" else "linear"
+        return [f"{base}.{a}.{suffix}" for a in aliases], kind
+    if len(rest) == 1:  # plain conv leaf (conv_in, downsample, ...)
+        kind = "norm" if "norm" in rest[0] else "conv"
+        return [f"{base}.{suffix}"], kind
+    # resnet submodule
+    sub = rest[1]
+    kind = "norm" if sub.startswith("norm") else "conv"
+    return [f"{base}.{sub}.{suffix}"], kind
+
+
+def unet_name_fn(path: str):
+    parts = path.split("/")
+    leaf = parts[-1]
+    suffix = _leaf_suffix(leaf)
+    top = parts[0]
+
+    if top in ("conv_in", "conv_out"):
+        return [f"{top}.{suffix}"], "conv"
+    if top == "conv_norm_out":
+        return [f"conv_norm_out.{suffix}"], "norm"
+    m = re.match(r"time_embedding_linear_(\d)", top)
+    if m:
+        return [f"time_embedding.linear_{m.group(1)}.{suffix}"], "linear"
+
+    m = re.match(r"(down|up)_(\d+)_(resnet|attn|downsample|upsample)_?(\d+)?", top)
+    if top.startswith("mid_"):
+        m2 = re.match(r"mid_resnet_(\d+)", top)
+        base = (
+            f"mid_block.resnets.{m2.group(1)}"
+            if m2
+            else "mid_block.attentions.0"
+        )
+        block_kind = "resnet" if m2 else "attn"
+    else:
+        assert m, path
+        direction = "down_blocks" if m.group(1) == "down" else "up_blocks"
+        idx, kind_name, j = m.group(2), m.group(3), m.group(4)
+        if kind_name == "resnet":
+            base, block_kind = f"{direction}.{idx}.resnets.{j}", "resnet"
+        elif kind_name == "attn":
+            base, block_kind = f"{direction}.{idx}.attentions.{j}", "attn"
+        elif kind_name == "downsample":
+            return [f"{direction}.{idx}.downsamplers.0.conv.{suffix}"], "conv"
+        else:
+            return [f"{direction}.{idx}.upsamplers.0.conv.{suffix}"], "conv"
+
+    rest = parts[1:]
+    if block_kind == "resnet":
+        sub = rest[0]
+        kind = "norm" if sub.startswith("norm") else (
+            "linear" if sub == "time_emb_proj" else "conv"
+        )
+        return [f"{base}.{sub}.{suffix}"], kind
+
+    # transformer block
+    sub = rest[0]
+    if sub == "norm":
+        return [f"{base}.norm.{suffix}"], "norm"
+    if sub in ("proj_in", "proj_out"):
+        # conv 1x1 in SD1.x, linear in SD2.x (use_linear_projection)
+        return [f"{base}.{sub}.{suffix}"], "conv"
+    assert sub == "transformer_blocks_0", path
+    inner = rest[1]
+    tb = f"{base}.transformer_blocks.0"
+    if inner.startswith("norm"):
+        return [f"{tb}.{inner}.{suffix}"], "norm"
+    if inner in ("attn1", "attn2"):
+        proj = rest[2].replace("to_out_0", "to_out.0")
+        return [f"{tb}.{inner}.{proj}.{suffix}"], "linear"
+    assert inner == "ff", path
+    sub_ff = {"geglu_proj": "net.0.proj", "out_proj": "net.2"}[rest[2]]
+    return [f"{tb}.ff.{sub_ff}.{suffix}"], "linear"
+
+
+# ----------------------------------------------------------------------------------
+# entry point
+# ----------------------------------------------------------------------------------
+
+
+def convert_params(our_params: dict, tensors: dict, name_fn) -> dict:
+    return _convert_tree(our_params, name_fn, tensors)
+
+
+def load_sd_params(weights_dir: Path, config: SDConfig) -> Dict[str, dict]:
+    """Convert an HF snapshot directory into {clip, vae, unet} param trees.
+
+    The random-init trees define target structure/shapes; each leaf is
+    replaced by the converted HF tensor (shape-checked).
+    """
+    import jax
+
+    from voxe_tpu.models.sd.clip_text import CLIPTextModel
+    from voxe_tpu.models.sd.unet import UNet2DConditionModel
+    from voxe_tpu.models.sd.vae import AutoencoderKL
+
+    weights_dir = Path(weights_dir)
+    key = jax.random.PRNGKey(0)
+    latent = config.latent_size
+
+    log.info(f"converting HF checkpoint from {weights_dir} ...")
+    clip = CLIPTextModel(config.clip)
+    clip_params = clip.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    clip_tensors = _load_tensor_files(weights_dir / "text_encoder")
+    clip_params = convert_params(clip_params, clip_tensors, clip_name_fn)
+
+    vae = AutoencoderKL(config.vae)
+    vae_params = vae.init(key, jnp.zeros((1, config.image_size, config.image_size, 3)))[
+        "params"
+    ]
+    vae_tensors = _load_tensor_files(weights_dir / "vae")
+    vae_params = convert_params(vae_params, vae_tensors, vae_name_fn)
+
+    unet = UNet2DConditionModel(config.unet)
+    unet_params = unet.init(
+        key,
+        jnp.zeros((1, latent, latent, config.unet.in_channels)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, config.unet.cross_attention_dim)),
+    )["params"]
+    unet_tensors = _load_tensor_files(weights_dir / "unet")
+    unet_params = convert_params(unet_params, unet_tensors, unet_name_fn)
+
+    log.info("HF checkpoint conversion complete")
+    return {"clip": clip_params, "vae": vae_params, "unet": unet_params}

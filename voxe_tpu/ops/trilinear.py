@@ -37,7 +37,8 @@ def trilinear_interpolate(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray
 
     flat_grid = grid.reshape(-1, C)
 
-    out = jnp.zeros((points.shape[0], C), dtype=grid.dtype)
+    # accumulate in float32 even for low-precision grids (bf16 gather mode)
+    out = jnp.zeros((points.shape[0], C), dtype=jnp.float32)
     for dx in (0, 1):
         wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
         ix = base[:, 0] + dx
@@ -58,5 +59,7 @@ def trilinear_interpolate(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray
                 weight = jnp.where(vx & vy & vz, weight, 0.0)
                 flat_idx = (ixc * Y + iyc) * Z + izc
                 corner = jnp.take(flat_grid, flat_idx, axis=0)
-                out = out + weight[:, None] * corner
-    return out
+                out = out + weight.astype(jnp.float32)[:, None] * corner.astype(
+                    jnp.float32
+                )
+    return out.astype(grid.dtype if grid.dtype != jnp.bfloat16 else jnp.float32)
