@@ -59,7 +59,9 @@ def test_ray_aabb_intersection_hits_and_misses():
         Rays(origins, directions), CameraBounds(0.5, 10.0), aabb
     )
     assert bool(hit[0, 0]) and not bool(hit[1, 0])
-    np.testing.assert_allclose(np.asarray(bounds[0]), [3.0, 5.0], rtol=1e-5)
+    # the interval is expanded outward by 1e-3 of its span (see
+    # ray_aabb_intersection docstring) so boundary samples get masked
+    np.testing.assert_allclose(np.asarray(bounds[0]), [3.0, 5.0], atol=5e-3)
     np.testing.assert_allclose(np.asarray(bounds[1]), [0.5, 10.0], rtol=1e-5)
 
 
