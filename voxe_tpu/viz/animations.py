@@ -129,6 +129,50 @@ def render_camera_path_for_volumetric_model_attn_only(
     return np.stack(frames)
 
 
+def render_camera_path_for_volumetric_model_gt_attn_maps(
+    vol_mod,
+    camera_path: Sequence[CameraPose],
+    camera_intrinsics: CameraIntrinsics,
+    sd_model,
+    prompt: str,
+    token_index: int,
+    key,
+    timestamp: int = 200,
+    overridden_num_samples_per_ray: Optional[int] = None,
+    render_scale_factor: Optional[float] = None,
+) -> np.ndarray:
+    """RGB | live-SD-attention side-by-side frames: per pose, render the grid,
+    run one noised UNet pass with attention capture, and colormap the chosen
+    token's map (reference animations.py:203-304)."""
+    import jax
+    from matplotlib import pyplot as plt
+
+    from voxe_tpu.models.sd.cross_attn import normalize_attn_map
+
+    if render_scale_factor is not None:
+        camera_intrinsics = scale_camera_intrinsics(
+            camera_intrinsics, render_scale_factor
+        )
+    overrides = {}
+    if overridden_num_samples_per_ray is not None:
+        overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    frames = []
+    for idx, pose in enumerate(camera_path):
+        log.info(f"rendering gt-attn frame {idx + 1}/{len(camera_path)}")
+        out = vol_mod.render(camera_intrinsics, pose, **overrides)
+        rgb = np.asarray(out.colour)
+        key, sub = jax.random.split(key)
+        maps, _ = sd_model.get_attn_map(
+            prompt, out.colour[None], sub, timestamp=timestamp,
+            indices_to_fetch=[token_index],
+        )
+        attn = np.asarray(normalize_attn_map(maps[0]))
+        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        frames.append(np.concatenate([to8b(rgb), to8b(attn_col)], axis=1))
+    return np.stack(frames)
+
+
 def render_camera_path_for_volumetric_model_attn_blend(
     vol_mod,
     camera_path: Sequence[CameraPose],
