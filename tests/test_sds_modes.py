@@ -1,0 +1,131 @@
+"""SDS edit-trainer ablation-mode tests: uncoupled / data-pose / l1 / l2."""
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxe_tpu.data.dataset import PosedImagesDataset
+from voxe_tpu.data.synthetic import generate_synthetic_scene
+from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+from voxe_tpu.models.sd import StableDiffusion, tiny_test_config
+from voxe_tpu.models.volumetric import VolumetricModel
+from voxe_tpu.render.interface import SHVoxGridRenderConfig
+from voxe_tpu.train.losses import (
+    density_correlation_loss,
+    density_correlation_loss_fn,
+    feature_correlation_loss,
+    tv_loss_on_grid,
+)
+from voxe_tpu.train.sds import (
+    get_dir_batch_from_poses,
+    train_sh_vox_grid_vol_mod_with_posed_images_and_sds,
+)
+
+
+def test_density_correlation_loss_properties(key):
+    import jax
+
+    x = jax.random.normal(key, (8, 8, 8, 1))
+    loss_same, grid = density_correlation_loss(x, x)
+    assert float(loss_same) == pytest.approx(0.0, abs=1e-5)
+    loss_anti, _ = density_correlation_loss(-x, x)
+    assert float(loss_anti) == pytest.approx(2.0, abs=1e-4)
+    # ablation modes
+    l2, none = density_correlation_loss_fn(x, x, l2_mode=True)
+    assert float(l2) == 0.0 and none is None
+    l1, _ = density_correlation_loss_fn(x, 2 * x, l1_mode=True)
+    assert float(l1) > 0.0
+
+
+def test_tv_loss_zero_on_constant_grid():
+    assert float(tv_loss_on_grid(jnp.full((6, 6, 6, 2), 3.0))) == 0.0
+    assert float(tv_loss_on_grid(jnp.arange(216.0).reshape(6, 6, 6, 1))) > 0.0
+
+
+def test_feature_correlation_loss_zero_on_identical(key):
+    import jax
+
+    f = jax.random.normal(key, (6, 6, 6, 3))
+    assert float(feature_correlation_loss(f, f)) == 0.0
+
+
+def test_get_dir_batch_from_poses():
+    from voxe_tpu.utils.camera import pose_spherical
+
+    # front-ish pose: yaw 0 -> arccos(R00)=0 -> 'front'
+    p = pose_spherical(0.0, 40.0, 4.0)
+    rt = np.hstack([p.rotation, p.translation])
+    assert get_dir_batch_from_poses(rt[None])[0] == "front"
+    # yaw 180 -> 'back'
+    p = pose_spherical(180.0, 40.0, 4.0)
+    rt = np.hstack([p.rotation, p.translation])
+    assert get_dir_batch_from_poses(rt[None])[0] == "back"
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    scene = generate_synthetic_scene(
+        tmp_path_factory.mktemp("scene"),
+        num_train=4, num_test=1, image_size=32, focal=32.0, grid_res=16,
+    )
+    dataset = PosedImagesDataset(
+        scene / "images", scene / "train_camera_params.json", rgba_white_bkgd=True
+    )
+    sd = StableDiffusion(config=tiny_test_config(), unet_dtype=jnp.float32)
+    res = 12
+    grid = VoxelGrid(
+        jnp.zeros((res, res, res, 1)),
+        jnp.zeros((res, res, res, 3)),
+        VoxelGridConfig(
+            voxel_size=VoxelSize(*[3.0 / res] * 3),
+            density_preactivation="identity",
+            density_postactivation="softplus",
+        ),
+    )
+    model = VolumetricModel(
+        grid,
+        SHVoxGridRenderConfig(
+            num_samples_per_ray=24,
+            camera_bounds=dataset.camera_bounds,
+            white_bkgd=True,
+            render_num_samples_per_ray=24,
+            parallel_rays_chunk_size=2048,
+        ),
+    )
+    return dataset, sd, model
+
+
+@pytest.mark.parametrize(
+    "mode_kwargs",
+    [
+        dict(uncoupled_mode=True, data_pose_mode=True),
+        dict(uncoupled_mode=True, data_pose_mode=True, uncoupled_l2_mode=True),
+        dict(data_pose_mode=True),
+        dict(l2_mode=True),
+        dict(l1_mode=True),
+    ],
+    ids=["uncoupled-l1", "uncoupled-l2", "datapose-dcl", "grid-l2", "grid-l1"],
+)
+def test_sds_trainer_ablation_modes(setup, tmp_path, mode_kwargs):
+    dataset, sd, model = setup
+    sds_model = VolumetricModel(copy.deepcopy(model.grid), model.render_config)
+    out = train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
+        sds_vol_mod=sds_model,
+        pretrained_vol_mod=model,
+        train_dataset=dataset,
+        image_dims=(32, 32),
+        output_dir=tmp_path / "out",
+        ray_batch_size=1024,
+        num_iterations=2,
+        sds_prompt="a yarn doll",
+        density_correlation_weight=10.0,
+        summary_freq=1,
+        feedback_freq=100,
+        save_freq=100,
+        sd_model=sd,
+        fast_debug_mode=True,
+        **mode_kwargs,
+    )
+    assert np.isfinite(np.asarray(out.grid.densities)).all()
+    assert (tmp_path / "out" / "saved_models" / "model_final.pth").exists()

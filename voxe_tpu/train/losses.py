@@ -22,7 +22,10 @@ def density_correlation_loss(sds_density, regular_density):
     eps = 1e-7
     sds_var = jnp.mean((sds_density - jnp.mean(sds_density)) ** 2)
     regular_var = jnp.mean((regular_density - jnp.mean(regular_density)) ** 2)
-    denominator = jnp.sqrt(sds_var * regular_var)
+    # the reference adds eps AFTER the sqrt (sds_trainer.py:522), which still
+    # leaves an infinite sqrt-gradient when either grid is constant; the inner
+    # eps makes the gradient finite with negligible numeric difference
+    denominator = jnp.sqrt(sds_var * regular_var + eps * eps)
 
     covariance_grid = (sds_density - jnp.mean(sds_density)) * (
         regular_density - jnp.mean(regular_density)

@@ -19,9 +19,16 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
     test_dataset: PosedImagesDataset,
     tensorboard_writer=None,
     global_step: int = 0,
+    lpips_weights_dir=None,
 ) -> dict:
     intrinsics = test_dataset.camera_intrinsics
-    psnrs, ssims = [], []
+    lpips_fn = None
+    if lpips_weights_dir is not None:
+        from voxe_tpu.models.lpips import try_load_lpips
+
+        lpips_fn = try_load_lpips(lpips_weights_dir)
+
+    psnrs, ssims, lpipss = [], [], []
     log.info(f"computing test metrics on {len(test_dataset)} heldout images")
     for i in range(len(test_dataset)):
         image, pose_arr = test_dataset.images[i], test_dataset.poses[i]
@@ -30,10 +37,19 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
         pred = np.asarray(out.colour)
         psnrs.append(float(psnr(pred, image)))
         ssims.append(float(ssim(pred, image)))
+        if lpips_fn is not None:
+            lpipss.append(lpips_fn(pred, image))
 
     mean_psnr, mean_ssim = float(np.mean(psnrs)), float(np.mean(ssims))
-    log.info(f"test metrics: psnr={mean_psnr:.3f} ssim={mean_ssim:.4f}")
+    metrics = {"psnr": mean_psnr, "ssim": mean_ssim}
+    msg = f"test metrics: psnr={mean_psnr:.3f} ssim={mean_ssim:.4f}"
+    if lpipss:
+        metrics["lpips"] = float(np.mean(lpipss))
+        msg += f" lpips={metrics['lpips']:.4f}"
+    log.info(msg)
     if tensorboard_writer is not None:
-        tensorboard_writer.add_scalar("test_psnr", mean_psnr, global_step=global_step)
-        tensorboard_writer.add_scalar("test_ssim", mean_ssim, global_step=global_step)
-    return {"psnr": mean_psnr, "ssim": mean_ssim}
+        for name, value in metrics.items():
+            tensorboard_writer.add_scalar(
+                f"test_{name}", value, global_step=global_step
+            )
+    return metrics
