@@ -195,8 +195,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     seed: int = 42,
     grid_random_init_range: tuple = (-1.0, 1.0),
     num_devices: int = 1,
+    resume_from: Optional[Path] = None,
 ) -> VolumetricModel:
-    """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506)."""
+    """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506).
+
+    Beyond the reference: with `resume_from` pointing at a
+    `training_state_latest.pth` written by a previous run, training resumes
+    mid-run with the optimizer state and PRNG key intact (the reference can
+    only restart pipeline stages from model snapshots, SURVEY.md section 5).
+    """
     output_dir = Path(output_dir)
     model_dir = output_dir / "saved_models"
     logs_dir = output_dir / "training_logs"
@@ -251,12 +258,35 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         HEMISPHERICAL_RADIUS: hemispherical_radius,
     }
 
+    if not fast_debug_mode:
+        from voxe_tpu.viz.static import visualize_camera_rays
+
+        log.info("creating a camera-rays visualization ...")
+        visualize_camera_rays(train_dataset, output_dir, num_rays_per_image=1)
+
     rng = np.random.default_rng(seed)
     log.info("beginning reconstruction training")
     time_training = 0.0
     global_step = 0
 
+    resume_meta = None
+    if resume_from is not None:
+        import json as _json
+
+        with np.load(Path(resume_from), allow_pickle=False) as data:
+            resume_meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        log.info(
+            f"resuming from {resume_from}: stage {resume_meta['stage']}, "
+            f"stage_iteration {resume_meta['stage_iteration']}"
+        )
+        global_step = int(resume_meta["global_step"])
+
     for stage in range(1, num_stages + 1):
+        if resume_meta is not None and stage < resume_meta["stage"]:
+            # fast-forward completed stages: grid must track the stage ladder
+            if stage != num_stages:
+                grid = scale_voxel_grid(grid, stagewise_sizes[stage])
+            continue
         stage_dataset = stagewise_datasets[stage - 1]
         images, poses = stage_dataset.device_arrays()
         batch_iter = stage_dataset.iter_batches(image_batch_cache_size, rng)
@@ -288,6 +318,16 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             apply_diffuse_render_regularization,
         )
 
+        start_iteration = 1
+        if resume_meta is not None and stage == resume_meta["stage"]:
+            from voxe_tpu.train.checkpointing import load_training_state
+
+            template = {"grid": grid, "opt_state": opt_state, "key": key}
+            state, _ = load_training_state(Path(resume_from), template)
+            grid, opt_state, key = state["grid"], state["opt_state"], state["key"]
+            start_iteration = int(resume_meta["stage_iteration"]) + 1
+            resume_meta = None
+
         log.info(
             f"training stage: {stage}  grid: {grid.grid_dims}  "
             f"images: [{stage_dataset.camera_intrinsics.height} x "
@@ -295,7 +335,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         )
 
         last_time = time.perf_counter()
-        for stage_iteration in range(1, num_iterations_per_stage + 1):
+        for stage_iteration in range(start_iteration, num_iterations_per_stage + 1):
             batch_indices = jnp.asarray(next(batch_iter))
             key, step_key = jax.random.split(key)
             grid, opt_state, metrics = train_step(
@@ -359,6 +399,17 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 snapshot.save(
                     model_dir / f"model_stage_{stage}_iter_{global_step}.pth",
                     extra_info=extra_info,
+                )
+                from voxe_tpu.train.checkpointing import save_training_state
+
+                save_training_state(
+                    model_dir / "training_state_latest.pth",
+                    {"grid": grid, "opt_state": opt_state, "key": key},
+                    {
+                        "stage": stage,
+                        "stage_iteration": stage_iteration,
+                        "global_step": global_step,
+                    },
                 )
 
         if stage != num_stages:

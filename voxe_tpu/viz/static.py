@@ -49,6 +49,42 @@ def postprocess_depth_map(
     return to8b(coloured)
 
 
+def visualize_camera_rays(
+    dataset,
+    output_dir: Path,
+    num_rays_per_image: int = 1,
+) -> None:
+    """3D matplotlib scatter of camera origins + one ray per image
+    (reference static.py:31-81). Written to camera_rays.png."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from voxe_tpu.render.rays import cast_rays
+    import jax.numpy as jnp
+
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    intr = dataset.camera_intrinsics
+    for pose_arr in dataset.poses:
+        rays = cast_rays(
+            intr, jnp.asarray(pose_arr[:, :3]), jnp.asarray(pose_arr[:, 3:])
+        )
+        origins = np.asarray(rays.origins).reshape(-1, 3)
+        directions = np.asarray(rays.directions).reshape(-1, 3)
+        picks = np.linspace(0, len(origins) - 1, num_rays_per_image).astype(int)
+        for p in picks:
+            o, d = origins[p], directions[p]
+            ax.quiver(*o, *d, length=1.5, color="tab:blue", arrow_length_ratio=0.1)
+        ax.scatter(*origins[0], color="tab:red", s=12)
+    ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_dir / "camera_rays.png", dpi=120)
+    plt.close(fig)
+
+
 def visualize_sh_vox_grid_vol_mod_rendered_feedback(
     vol_mod,
     vol_mod_name: str,
