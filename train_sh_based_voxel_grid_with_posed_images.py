@@ -112,6 +112,12 @@ from voxe_tpu.utils.misc import (
 @click.option("--gather_dtype", type=click.Choice(["float32", "bfloat16"]), required=False,
               default="bfloat16", help="dtype of the grid table the renderer gathers from; "
               "bfloat16 halves HBM gather traffic (quality-neutral)", show_default=True)
+@click.option("--steps_per_call", type=click.INT, required=False, default=1,
+              help="training steps fused into one device dispatch (lax.scan); "
+              ">1 removes host round-trips per step", show_default=True)
+@click.option("--resume", "resume_from", type=click.Path(file_okay=True, dir_okay=False),
+              required=False, default=None,
+              help="resume mid-run from a training_state_latest.pth", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -221,6 +227,8 @@ def main(**kwargs) -> None:
         apply_diffuse_render_regularization=config.apply_diffuse_render_regularization,
         verbose_rendering=config.verbose_rendering,
         fast_debug_mode=config.fast_debug_mode,
+        steps_per_call=config.steps_per_call,
+        resume_from=Path(config.resume_from) if config.resume_from else None,
     )
 
 

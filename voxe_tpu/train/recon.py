@@ -170,6 +170,83 @@ def make_recon_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_recon_train_multi_step(
+    intrinsics: CameraIntrinsics,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    ray_batch_size: int,
+    num_train_images: int,
+    image_batch_size: int,
+    steps_per_call: int,
+    apply_diffuse_render_regularization: bool = True,
+    mesh=None,
+) -> Callable:
+    """K training steps fused into ONE dispatch via lax.scan.
+
+    The dataset lives on-device and the per-step randomness (image batch,
+    pixel subset, stratified jitter) is PRNG-key-driven, so nothing about an
+    iteration needs the host: scanning K steps per call removes K-1 dispatch
+    round-trips (significant wherever host->device latency is non-trivial)
+    and lets XLA overlap step tails.
+
+    signature: multi_step(grid, opt_state, images, poses, key)
+               -> (grid, opt_state, last-step metrics)
+    """
+
+    def body(carry, step_key):
+        grid, opt_state, images, poses = carry
+        k_batch, k_idx, k_render = jax.random.split(step_key, 3)
+        batch_indices = jax.random.randint(
+            k_batch, (image_batch_size,), 0, num_train_images
+        )
+        batch_images = images[batch_indices]
+        batch_poses = poses[batch_indices]
+        total_pixels = image_batch_size * intrinsics.height * intrinsics.width
+
+        flat_idx = jax.random.randint(k_idx, (ray_batch_size,), 0, total_pixels)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate, shard_rays
+
+            flat_idx = shard_rays(mesh, flat_idx)
+            grid = replicate(mesh, grid)
+        pixels = batch_images.reshape(-1, 3)[flat_idx]
+        rays = cast_rays_at_indices(intrinsics, batch_poses, flat_idx)
+
+        def loss_fn(g):
+            out_spec, out_diff = render_specular_and_diffuse(
+                g, rays, render_config, k_render
+            )
+            spec_l1 = jnp.mean(jnp.abs(out_spec.colour - pixels))
+            spec_mse = jnp.mean((out_spec.colour - pixels) ** 2)
+            total = spec_l1
+            diff_l1 = diff_mse = jnp.zeros(())
+            if apply_diffuse_render_regularization:
+                diff_l1 = jnp.mean(jnp.abs(out_diff.colour - pixels))
+                diff_mse = jnp.mean((out_diff.colour - pixels) ** 2)
+                total = total + diff_l1
+            return total, dict(
+                specular_loss=spec_l1,
+                diffuse_loss=diff_l1,
+                specular_psnr=mse2psnr(spec_mse),
+                diffuse_psnr=mse2psnr(diff_mse),
+            )
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        return (new_grid, new_opt_state, images, poses), metrics
+
+    def multi_step(grid, opt_state, images, poses, key):
+        keys = jax.random.split(key, steps_per_call)
+        (grid, opt_state, _, _), metrics = jax.lax.scan(
+            body, (grid, opt_state, images, poses), keys
+        )
+        return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0, 1))
+
+
 def train_sh_vox_grid_vol_mod_with_posed_images(
     vol_mod: VolumetricModel,
     train_dataset: PosedImagesDataset,
@@ -196,6 +273,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     grid_random_init_range: tuple = (-1.0, 1.0),
     num_devices: int = 1,
     resume_from: Optional[Path] = None,
+    steps_per_call: int = 1,
 ) -> VolumetricModel:
     """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506).
 
@@ -310,13 +388,25 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             * stage_dataset.camera_intrinsics.height
             * stage_dataset.camera_intrinsics.width,
         )
-        train_step = make_recon_train_step(
-            stage_dataset.camera_intrinsics,
-            stage_render_config,
-            optimizer,
-            stage_ray_batch,
-            apply_diffuse_render_regularization,
-        )
+        if steps_per_call > 1:
+            multi_step = make_recon_train_multi_step(
+                stage_dataset.camera_intrinsics,
+                stage_render_config,
+                optimizer,
+                stage_ray_batch,
+                num_train_images=len(stage_dataset),
+                image_batch_size=min(image_batch_cache_size, len(stage_dataset)),
+                steps_per_call=steps_per_call,
+                apply_diffuse_render_regularization=apply_diffuse_render_regularization,
+            )
+        else:
+            train_step = make_recon_train_step(
+                stage_dataset.camera_intrinsics,
+                stage_render_config,
+                optimizer,
+                stage_ray_batch,
+                apply_diffuse_render_regularization,
+            )
 
         start_iteration = 1
         if resume_meta is not None and stage == resume_meta["stage"]:
@@ -335,15 +425,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         )
 
         last_time = time.perf_counter()
-        for stage_iteration in range(start_iteration, num_iterations_per_stage + 1):
-            batch_indices = jnp.asarray(next(batch_iter))
+        for stage_iteration in range(
+            start_iteration, num_iterations_per_stage + 1, steps_per_call
+        ):
             key, step_key = jax.random.split(key)
-            grid, opt_state, metrics = train_step(
-                grid, opt_state, images, poses, batch_indices, step_key
-            )
-            global_step += 1
+            if steps_per_call > 1:
+                grid, opt_state, metrics = multi_step(
+                    grid, opt_state, images, poses, step_key
+                )
+                global_step += steps_per_call
+            else:
+                batch_indices = jnp.asarray(next(batch_iter))
+                grid, opt_state, metrics = train_step(
+                    grid, opt_state, images, poses, batch_indices, step_key
+                )
+                global_step += 1
 
-            last_iter = stage_iteration == num_iterations_per_stage
+            last_iter = stage_iteration + steps_per_call > num_iterations_per_stage
             if (
                 global_step % summary_freq == 0
                 or stage_iteration == 1
