@@ -162,6 +162,111 @@ def make_sds_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_sds_train_multi_step(
+    sd: StableDiffusion,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    intrinsics,  # CameraIntrinsics
+    steps_per_call: int,
+    *,
+    radius: float = HEMISPHERICAL_RADIUS_CONSTANT,
+    do_sds: bool = True,
+    guidance_scale: float = 100.0,
+    density_correlation_weight: float = 0.0,
+    feature_correlation_weight: float = 0.0,
+    tv_density_weight: float = 0.0,
+    tv_features_weight: float = 0.0,
+    l2_mode: bool = False,
+    l1_mode: bool = False,
+    mesh=None,
+) -> Callable:
+    """K fully-fused SDS edit steps per dispatch (random-pose mode).
+
+    Everything the reference does host-side per iteration — hemisphere pose
+    draw, ray casting, view-direction classification, timestep draw — runs
+    inside one lax.scan body, so an entire chunk of the 8000-iteration edit
+    loop is a single device dispatch. The t-annealing schedule stays
+    host-side: the per-step (min_t, max_t) bounds ride in as a [K, 2] array.
+
+    signature: multi_step(grid, opt_state, sd_params,
+                          text_embeddings_by_dir [4, 2, 77, D],
+                          ref_densities, ref_features,
+                          t_bounds [K, 2], key)
+               -> (grid, opt_state, last-step metrics)
+    """
+    im_h, im_w = intrinsics.height, intrinsics.width
+    from voxe_tpu.utils.camera import random_pose_jax
+
+    def body(carry, inputs):
+        grid, opt_state, sd_params, text_by_dir, ref_d, ref_f = carry
+        t_lo, t_hi, step_key = inputs
+        k_pose, k_t, k_render, k_sds = jax.random.split(step_key, 4)
+
+        rotation, translation, pitch_deg, yaw_deg = random_pose_jax(k_pose, radius)
+        rays = flatten_rays(cast_rays(intrinsics, rotation, translation))
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate, shard_rays
+
+            grid = replicate(mesh, grid)
+            rays = Rays(shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions))
+
+        # view-direction bucket (reference imaging_utils.py:206-214):
+        # front=3 unless yaw in (45,315) -> side=0; yaw in (120,240) -> back=2;
+        # pitch<25 -> overhead=1  (indices match DIRECTION_PROMPTS order)
+        dir_idx = jnp.asarray(3)
+        dir_idx = jnp.where((yaw_deg > 45.0) & (yaw_deg < 315.0), 0, dir_idx)
+        dir_idx = jnp.where((yaw_deg > 120.0) & (yaw_deg < 240.0), 2, dir_idx)
+        dir_idx = jnp.where(pitch_deg < 25.0, 1, dir_idx)
+        text_embeddings = text_by_dir[dir_idx]
+
+        t = jax.random.randint(k_t, (), t_lo, t_hi + 1)
+
+        def loss_fn(g):
+            out = render_sh_voxel_grid(g, rays, render_config, key=k_render)
+            total = jnp.zeros(())
+            metrics = {}
+            if do_sds:
+                imgs = out.colour.reshape(1, im_h, im_w, 3)
+                total = total + sd.sds_loss(
+                    sd_params, text_embeddings, imgs, k_sds, t, guidance_scale
+                )
+            dcl, _ = density_correlation_loss_fn(
+                g.densities, ref_d, l2_mode=l2_mode, l1_mode=l1_mode
+            )
+            total = total + dcl * density_correlation_weight
+            metrics["density_correlation_loss"] = dcl
+            if feature_correlation_weight > 0.0:
+                fcl = feature_correlation_loss(g.features, ref_f)
+                total = total + fcl * feature_correlation_weight
+                metrics["feature_correlation_loss"] = fcl
+            if tv_density_weight > 0.0:
+                total = total + tv_loss_on_grid(jax.nn.relu(g.densities)) * tv_density_weight
+            if tv_features_weight > 0.0:
+                total = total + tv_loss_on_grid(g.features) * tv_features_weight
+            return total, metrics
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        metrics["dir_idx"] = dir_idx
+        return (new_grid, new_opt_state, sd_params, text_by_dir, ref_d, ref_f), metrics
+
+    def multi_step(
+        grid, opt_state, sd_params, text_by_dir, ref_densities, ref_features,
+        t_bounds, key,
+    ):
+        keys = jax.random.split(key, steps_per_call)
+        carry = (grid, opt_state, sd_params, text_by_dir, ref_densities, ref_features)
+        carry, metrics = jax.lax.scan(
+            body, carry, (t_bounds[:, 0], t_bounds[:, 1], keys)
+        )
+        grid, opt_state = carry[0], carry[1]
+        return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0, 1))
+
+
 def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     sds_vol_mod: VolumetricModel,
     pretrained_vol_mod: VolumetricModel,
@@ -203,6 +308,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     seed: int = 42,
     fast_debug_mode: bool = False,
     mesh=None,
+    steps_per_call: int = 1,
 ) -> VolumetricModel:
     """The Vox-E editing loop (reference sds_trainer.py:47-469)."""
     assert sds_prompt != "none", "you have to supply a text prompt to use SDS"
@@ -248,22 +354,49 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     grid = sds_vol_mod.grid
     opt_state = optimizer.init(grid)
 
-    step_fn = make_sds_train_step(
-        sd,
-        sds_vol_mod.render_config,
-        optimizer,
-        image_dims,
-        do_sds=do_sds,
-        density_correlation_weight=density_correlation_weight,
-        feature_correlation_weight=feature_correlation_weight,
-        tv_density_weight=tv_density_weight,
-        tv_features_weight=tv_features_weight,
-        uncoupled_mode=uncoupled_mode,
-        uncoupled_l2_mode=uncoupled_l2_mode,
-        l2_mode=l2_mode,
-        l1_mode=l1_mode,
-        mesh=mesh,
+    use_fused = (
+        steps_per_call > 1 and not uncoupled_mode and not data_pose_mode
+        and sds_loss_wrapper.directional
     )
+    if use_fused:
+        multi_step_fn = make_sds_train_multi_step(
+            sd,
+            sds_vol_mod.render_config,
+            optimizer,
+            camera_intrinsics,
+            steps_per_call,
+            do_sds=do_sds,
+            density_correlation_weight=density_correlation_weight,
+            feature_correlation_weight=feature_correlation_weight,
+            tv_density_weight=tv_density_weight,
+            tv_features_weight=tv_features_weight,
+            l2_mode=l2_mode,
+            l1_mode=l1_mode,
+            mesh=mesh,
+        )
+        text_by_dir = jnp.stack(
+            [
+                sds_loss_wrapper.text_encodings[d]
+                for d in ("side", "overhead", "back", "front")
+            ]
+        )  # indexed by the in-jit direction bucket
+    else:
+        step_fn = make_sds_train_step(
+            sd,
+            sds_vol_mod.render_config,
+            optimizer,
+            image_dims,
+            do_sds=do_sds,
+            density_correlation_weight=density_correlation_weight,
+            feature_correlation_weight=feature_correlation_weight,
+            tv_density_weight=tv_density_weight,
+            tv_features_weight=tv_features_weight,
+            uncoupled_mode=uncoupled_mode,
+            uncoupled_l2_mode=uncoupled_l2_mode,
+            l2_mode=l2_mode,
+            l1_mode=l1_mode,
+            mesh=mesh,
+        )
 
     batch_size_in_images = max(1, int(ray_batch_size / (im_h * im_w)))
     rng = np.random.default_rng(seed)
@@ -283,6 +416,56 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     current_pose = None
     direction = "front"
     zero_pixels = jnp.zeros((im_h * im_w * batch_size_in_images, 3))
+
+    if use_fused:
+        for chunk_start in range(1, num_iterations + 1, steps_per_call):
+            chunk = min(steps_per_call, num_iterations - chunk_start + 1)
+            bounds = []
+            for gs in range(chunk_start, chunk_start + steps_per_call):
+                sd.update_t_schedule(min(gs, num_iterations))
+                bounds.append(
+                    (
+                        int(sd.num_train_timesteps * sd.min_step_ratio),
+                        int(sd.num_train_timesteps * sd.max_step_ratio),
+                    )
+                )
+            t_bounds = jnp.asarray(bounds, dtype=jnp.int32)
+            key, k_step = jax.random.split(key)
+            grid, opt_state, metrics = multi_step_fn(
+                grid, opt_state, sd.params, text_by_dir,
+                ref_densities, ref_features, t_bounds, k_step,
+            )
+            global_step = chunk_start + chunk - 1
+            time_training += time.perf_counter() - last_time
+            last_iter = global_step >= num_iterations
+
+            if (
+                global_step % summary_freq < steps_per_call
+                or chunk_start == 1
+                or last_iter
+            ):
+                metrics_host = {
+                    k: float(v) for k, v in metrics.items() if k != "dir_idx"
+                }
+                log.info(
+                    f"Iteration: {global_step} "
+                    + " ".join(f"{k}: {v:.4f}" for k, v in metrics_host.items())
+                    + f" max_t: {sd.get_max_step_ratio():.3f}"
+                )
+            if global_step % save_freq < steps_per_call or last_iter:
+                VolumetricModel(grid, sds_vol_mod.render_config).save(
+                    model_dir / f"model_iter_{global_step}.pth", extra_info=extra_info
+                )
+            last_time = time.perf_counter()
+
+        sds_vol_mod.grid = grid
+        sds_vol_mod.extra_info.update(extra_info)
+        sds_vol_mod.save(model_dir / "model_final.pth", extra_info=extra_info)
+        log.info(
+            f"Edit training complete (fused, {steps_per_call} steps/dispatch); "
+            f"actual training time: {timedelta(seconds=time_training)}"
+        )
+        return sds_vol_mod
 
     for global_step in range(1, num_iterations + 1):
         # ---- pose / frame refresh (host-side; reference :241-277)
