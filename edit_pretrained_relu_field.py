@@ -168,6 +168,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
                    "random init without it", show_default=True)
 @click.option("--sd_version", type=click.STRING, required=False, default="2.0",
               help="stable diffusion version for the SDS stage", show_default=True)
+@click.option("--steps_per_call", type=click.INT, required=False, default=1,
+              help="edit iterations fused into one device dispatch (random-pose "
+              "directional mode only)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -249,6 +252,7 @@ def main(**kwargs) -> None:
         sd_version=config.sd_version,
         sd_weights_dir=sd_weights_dir,
         fast_debug_mode=config.fast_debug_mode,
+        steps_per_call=config.steps_per_call,
     )
 
     if config.do_refinement:
