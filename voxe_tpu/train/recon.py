@@ -109,7 +109,10 @@ def make_recon_train_step(
     optimizer: optax.GradientTransformation,
     ray_batch_size: int,
     apply_diffuse_render_regularization: bool = True,
-    donate: bool = True,
+    # donation saves one grid+optimizer copy per step (~0.25 ms at 160^3) but
+    # some TPU transports mis-handle small non-donated outputs of donated
+    # executables (observed INVALID_ARGUMENT on metric transfer); default off
+    donate: bool = False,
     mesh=None,
 ) -> Callable:
     """Build the jitted per-iteration update.
@@ -244,7 +247,7 @@ def make_recon_train_multi_step(
         )
         return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0, 1))
+    return jax.jit(multi_step)
 
 
 def train_sh_vox_grid_vol_mod_with_posed_images(

@@ -159,7 +159,8 @@ def make_sds_train_step(
         metrics["total_loss"] = total_loss
         return new_grid, new_opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    # no donation: see make_recon_train_step's note on transport quirks
+    return jax.jit(step)
 
 
 def make_sds_train_multi_step(
@@ -264,7 +265,7 @@ def make_sds_train_multi_step(
         grid, opt_state = carry[0], carry[1]
         return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0, 1))
+    return jax.jit(multi_step)
 
 
 def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
