@@ -36,6 +36,41 @@ def compute_expected_density_scale_for_relu_field_grid(
     )
 
 
+def batchify(processor_fn, collate_fn=None, chunk_size: int = 65536):
+    """Chunk-map `processor_fn` over the leading axis (memory valve).
+
+    API-parity port of the reference's host-side batchify
+    (reference: thre3d_atom/utils/misc.py:14-35). Under XLA this is rarely
+    needed (the facade's lax.map chunking covers full-image renders), but the
+    utility is kept for custom pipelines. Works with jnp inputs; chunks are
+    processed sequentially on the host loop, so use OUTSIDE jit.
+    """
+    import numpy as np_
+
+    def _default_collate(chunks):
+        import jax.numpy as jnp
+
+        return jnp.concatenate(chunks, axis=0)
+
+    collate = collate_fn or _default_collate
+
+    def wrapped(x, *args, **kwargs):
+        n = x.shape[0]
+        if n <= chunk_size:
+            return processor_fn(x, *args, **kwargs)
+        outs = []
+        for start in range(0, n, chunk_size):
+            outs.append(processor_fn(x[start : start + chunk_size], *args, **kwargs))
+        return collate(outs)
+
+    return wrapped
+
+
+def check_power_of_2(x: int) -> bool:
+    """(reference: thre3d_atom/utils/misc.py:10-12)"""
+    return x != 0 and (x & (x - 1)) == 0
+
+
 class EasyDict(dict):
     """Attribute-style dict (stand-in for the easydict dependency the
     reference CLIs use; not installed in this image)."""
