@@ -45,7 +45,6 @@ def batchify(processor_fn, collate_fn=None, chunk_size: int = 65536):
     utility is kept for custom pipelines. Works with jnp inputs; chunks are
     processed sequentially on the host loop, so use OUTSIDE jit.
     """
-    import numpy as np_
 
     def _default_collate(chunks):
         import jax.numpy as jnp
