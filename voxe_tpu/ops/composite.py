@@ -14,7 +14,6 @@ implementation (cheap elementwise math) so gradients stay exact.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
