@@ -65,10 +65,19 @@ class CrossAttention(nn.Module):
     capture: str = ""  # "", or the capture tag ("down"/"mid"/"up")
 
     @nn.compact
-    def __call__(self, hidden, context=None, capture_attn: bool = False):
-        """hidden [B, Q, C]; context [B, K, Dc] (None -> self-attention)."""
+    def __call__(
+        self, hidden, context=None, capture_attn: bool = False, attn_edit_fn=None
+    ):
+        """hidden [B, Q, C]; context [B, K, Dc] (None -> self-attention).
+
+        `attn_edit_fn(probs [B, h, Q, K], place, is_cross) -> probs` enables
+        prompt-to-prompt attention REINJECTION (the functional replacement of
+        the reference's controller monkey-patch, cross_attn.py:57-124):
+        controllers from voxe_tpu.models.sd.controllers slot in directly.
+        """
         C = hidden.shape[-1]
         head_dim = C // self.num_heads
+        is_cross = context is not None
         context = hidden if context is None else context
 
         q = nn.Dense(C, use_bias=False, name="to_q")(hidden)
@@ -81,6 +90,9 @@ class CrossAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(head_dim)
         probs = nn.softmax(scores, axis=-1)
+
+        if attn_edit_fn is not None:
+            probs = attn_edit_fn(probs, self.capture or "self", is_cross)
 
         if capture_attn and self.capture:
             # head-averaged [B, Q, K] map; reference AttentionStore keeps maps
@@ -111,13 +123,18 @@ class BasicTransformerBlock(nn.Module):
     capture: str = ""
 
     @nn.compact
-    def __call__(self, hidden, context, capture_attn: bool = False):
+    def __call__(self, hidden, context, capture_attn: bool = False, attn_edit_fn=None):
+        # attn1 is SELF-attention: editable via attn_edit_fn but never
+        # captured (capture is cross-maps only; see cross_attn aggregation)
         hidden = hidden + CrossAttention(self.num_heads, name="attn1")(
-            nn.LayerNorm(name="norm1")(hidden)
+            nn.LayerNorm(name="norm1")(hidden), attn_edit_fn=attn_edit_fn
         )
         hidden = hidden + CrossAttention(
             self.num_heads, capture=self.capture, name="attn2"
-        )(nn.LayerNorm(name="norm2")(hidden), context, capture_attn=capture_attn)
+        )(
+            nn.LayerNorm(name="norm2")(hidden), context,
+            capture_attn=capture_attn, attn_edit_fn=attn_edit_fn,
+        )
         hidden = hidden + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(hidden))
         return hidden
 
@@ -128,7 +145,7 @@ class Transformer2D(nn.Module):
     capture: str = ""
 
     @nn.compact
-    def __call__(self, x, context, capture_attn: bool = False):
+    def __call__(self, x, context, capture_attn: bool = False, attn_edit_fn=None):
         B, H, W, C = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
@@ -136,7 +153,7 @@ class Transformer2D(nn.Module):
         h = h.reshape(B, H * W, C)
         h = BasicTransformerBlock(
             self.num_heads, capture=self.capture, name="transformer_blocks_0"
-        )(h, context, capture_attn=capture_attn)
+        )(h, context, capture_attn=capture_attn, attn_edit_fn=attn_edit_fn)
         h = h.reshape(B, H, W, C)
         h = nn.Conv(C, (1, 1), name="proj_out")(h)
         return h + residual
@@ -146,7 +163,10 @@ class UNet2DConditionModel(nn.Module):
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, sample, timesteps, encoder_hidden_states, capture_attn: bool = False):
+    def __call__(
+        self, sample, timesteps, encoder_hidden_states,
+        capture_attn: bool = False, attn_edit_fn=None,
+    ):
         """sample [B, H, W, in_ch]; timesteps [] or [B]; context [B, T, Dc]."""
         cfg = self.config
         num_levels = len(cfg.block_out_channels)
@@ -177,7 +197,8 @@ class UNet2DConditionModel(nn.Module):
                     h = Transformer2D(
                         cfg.attention_head_dim[level], cfg.norm_num_groups,
                         capture="down", name=f"down_{level}_attn_{block}",
-                    )(h, encoder_hidden_states, capture_attn=capture_attn)
+                    )(h, encoder_hidden_states, capture_attn=capture_attn,
+                      attn_edit_fn=attn_edit_fn)
                 skips.append(h)
             if level != num_levels - 1:
                 h = nn.Conv(
@@ -191,7 +212,8 @@ class UNet2DConditionModel(nn.Module):
         h = Transformer2D(
             cfg.attention_head_dim[-1], cfg.norm_num_groups, capture="mid",
             name="mid_attn",
-        )(h, encoder_hidden_states, capture_attn=capture_attn)
+        )(h, encoder_hidden_states, capture_attn=capture_attn,
+          attn_edit_fn=attn_edit_fn)
         h = ResnetBlock2D(h.shape[-1], cfg.norm_num_groups, name="mid_resnet_1")(h, temb)
 
         # ---- up path (reversed levels)
@@ -209,7 +231,8 @@ class UNet2DConditionModel(nn.Module):
                     h = Transformer2D(
                         cfg.attention_head_dim[level], cfg.norm_num_groups,
                         capture="up", name=f"up_{up_idx}_attn_{block}",
-                    )(h, encoder_hidden_states, capture_attn=capture_attn)
+                    )(h, encoder_hidden_states, capture_attn=capture_attn,
+                      attn_edit_fn=attn_edit_fn)
             if up_idx != num_levels - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
