@@ -14,7 +14,12 @@ the repo — BASELINE.md notes published=={}), i.e. ~0.33M rays/s. Revisit when
 a measured reference number exists.
 """
 import json
+import logging
+import sys
 import time
+
+# keep stdout to exactly one JSON line: route all logging to stderr
+logging.basicConfig(stream=sys.stderr, level=logging.WARNING, force=True)
 
 REFERENCE_RAYS_PER_SEC_EST = 0.33e6
 
