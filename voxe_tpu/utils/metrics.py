@@ -20,13 +20,44 @@ def psnr(pred, target):
     return mse2psnr(mse(pred, target))
 
 
-def ssim(img0, img1, max_val: float = 1.0):
-    """Global (non-windowed) SSIM over [H, W, C] images — cheap proxy used for
-    held-out eval summaries; full windowed SSIM lives in evaluation/."""
-    mu0, mu1 = jnp.mean(img0), jnp.mean(img1)
-    var0, var1 = jnp.var(img0), jnp.var(img1)
-    cov = jnp.mean((img0 - mu0) * (img1 - mu1))
-    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
-    return ((2 * mu0 * mu1 + c1) * (2 * cov + c2)) / (
-        (mu0**2 + mu1**2 + c1) * (var0 + var1 + c2)
-    )
+def ssim(
+    img0,
+    img1,
+    max_val: float = 1.0,
+    filter_size: int = 11,
+    filter_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+):
+    """Windowed SSIM over [H, W, C] images (standard gaussian-window formula,
+    matching the usual skimage/tf defaults)."""
+    import jax
+
+    img0 = jnp.asarray(img0, jnp.float32)
+    img1 = jnp.asarray(img1, jnp.float32)
+    if img0.ndim == 2:
+        img0, img1 = img0[..., None], img1[..., None]
+
+    hw = filter_size // 2
+    offsets = jnp.arange(-hw, hw + 1, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * (offsets / filter_sigma) ** 2)
+    g = g / g.sum()
+
+    def blur(x):  # separable gaussian, per channel, valid padding
+        x = jnp.moveaxis(x, -1, 0)[:, None]  # [C, 1, H, W]
+        kh = g.reshape(1, 1, -1, 1)
+        kw = g.reshape(1, 1, 1, -1)
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        return jnp.moveaxis(x[:, 0], 0, -1)  # [H', W', C]
+
+    mu0, mu1 = blur(img0), blur(img1)
+    mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
+    sigma00 = blur(img0 * img0) - mu00
+    sigma11 = blur(img1 * img1) - mu11
+    sigma01 = blur(img0 * img1) - mu01
+
+    c1, c2 = (k1 * max_val) ** 2, (k2 * max_val) ** 2
+    numerator = (2 * mu01 + c1) * (2 * sigma01 + c2)
+    denominator = (mu00 + mu11 + c1) * (sigma00 + sigma11 + c2)
+    return jnp.mean(numerator / denominator)
