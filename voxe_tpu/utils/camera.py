@@ -68,6 +68,15 @@ def to8b(x: np.ndarray) -> np.ndarray:
     return (255 * np.clip(np.asarray(x), 0, 1)).astype(np.uint8)
 
 
+def get_2d_coordinates(height: int, width: int, drange=(-1.0, 1.0)) -> np.ndarray:
+    """[H, W, 2] meshgrid of coordinates in `drange`
+    (reference: thre3d_atom/utils/imaging_utils.py:74-85)."""
+    ys = np.linspace(drange[0], drange[1], height, dtype=np.float32)
+    xs = np.linspace(drange[0], drange[1], width, dtype=np.float32)
+    grid_y, grid_x = np.meshgrid(ys, xs, indexing="ij")
+    return np.stack([grid_y, grid_x], axis=-1)
+
+
 def scale_camera_intrinsics(
     camera_intrinsics: CameraIntrinsics, scale_factor: float = 1.0
 ) -> CameraIntrinsics:
