@@ -88,6 +88,16 @@ class CrossAttention(nn.Module):
             return x.reshape(*x.shape[:-1], self.num_heads, head_dim).swapaxes(-3, -2)
 
         q, k, v = split(q), split(k), split(v)
+
+        needs_probs = attn_edit_fn is not None or (capture_attn and self.capture)
+        if not needs_probs:
+            # fast path: fused scaled-dot-product attention (XLA picks the
+            # best TPU lowering; no [B, h, Q, K] probs materialized in HBM)
+            out = jax.nn.dot_product_attention(
+                q.swapaxes(-3, -2), k.swapaxes(-3, -2), v.swapaxes(-3, -2)
+            ).reshape(*hidden.shape[:-1], C)
+            return nn.Dense(C, name="to_out_0")(out)
+
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(head_dim)
         probs = nn.softmax(scores, axis=-1)
 
