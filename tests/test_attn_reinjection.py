@@ -44,4 +44,6 @@ def test_identity_edit_fn_is_noop(sd, key):
         {"params": sd.params["unet"]}, sample, 10.0, ctx,
         attn_edit_fn=lambda p, place, is_cross: p,
     )
-    np.testing.assert_allclose(np.asarray(base), np.asarray(same), rtol=1e-6)
+    # base uses the fused SDPA fast path, identity-edit forces the explicit
+    # probs path — tiny float-reassociation differences are expected
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=2e-5)
