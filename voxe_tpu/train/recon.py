@@ -277,6 +277,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     num_devices: int = 1,
     resume_from: Optional[Path] = None,
     steps_per_call: int = 1,
+    coarse_stages_on_cpu: bool = False,
 ) -> VolumetricModel:
     """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506).
 
@@ -362,156 +363,170 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         )
         global_step = int(resume_meta["global_step"])
 
+    import contextlib
+
     for stage in range(1, num_stages + 1):
         if resume_meta is not None and stage < resume_meta["stage"]:
             # fast-forward completed stages: grid must track the stage ladder
             if stage != num_stages:
                 grid = scale_voxel_grid(grid, stagewise_sizes[stage])
             continue
-        stage_dataset = stagewise_datasets[stage - 1]
-        images, poses = stage_dataset.device_arrays()
-        batch_iter = stage_dataset.iter_batches(image_batch_cache_size, rng)
 
-        stage_lr = learning_rate * (stagewise_lr_decay_gamma ** (stage - 1))
-        schedule = optax.exponential_decay(
-            init_value=stage_lr,
-            transition_steps=lr_decay_steps_per_stage,
-            decay_rate=lr_decay_gamma_per_stage,
-            staircase=True,
-        )
-        optimizer = optax.adam(schedule, b1=0.9, b2=0.999)
-        opt_state = optimizer.init(grid)
+        # Optional hybrid placement: coarse stages are tiny compute (a 20^3-
+        # 80^3 grid step is <1 ms of FLOPs) but can hit pathological TPU
+        # compile paths on some toolchains; running them on the host CPU and
+        # reserving the accelerator for the final full-resolution stage costs
+        # nothing and avoids per-stage accelerator compiles entirely.
+        stage_device_ctx = contextlib.nullcontext()
+        if coarse_stages_on_cpu and stage != num_stages:
+            cpu_devices = jax.devices("cpu")
+            if cpu_devices:
+                stage_device_ctx = jax.default_device(cpu_devices[0])
+        with stage_device_ctx:
+            stage_dataset = stagewise_datasets[stage - 1]
+            images, poses = stage_dataset.device_arrays()
+            batch_iter = stage_dataset.iter_batches(image_batch_cache_size, rng)
 
-        stage_render_config = vol_mod.render_config.replace(
-            num_samples_per_ray=vol_mod.render_config.num_samples_per_ray,
-        )
-        stage_ray_batch = min(
-            ray_batch_size,
-            image_batch_cache_size
-            * stage_dataset.camera_intrinsics.height
-            * stage_dataset.camera_intrinsics.width,
-        )
-        if steps_per_call > 1:
-            multi_step = make_recon_train_multi_step(
-                stage_dataset.camera_intrinsics,
-                stage_render_config,
-                optimizer,
-                stage_ray_batch,
-                num_train_images=len(stage_dataset),
-                image_batch_size=min(image_batch_cache_size, len(stage_dataset)),
-                steps_per_call=steps_per_call,
-                apply_diffuse_render_regularization=apply_diffuse_render_regularization,
+            stage_lr = learning_rate * (stagewise_lr_decay_gamma ** (stage - 1))
+            schedule = optax.exponential_decay(
+                init_value=stage_lr,
+                transition_steps=lr_decay_steps_per_stage,
+                decay_rate=lr_decay_gamma_per_stage,
+                staircase=True,
             )
-        else:
-            train_step = make_recon_train_step(
-                stage_dataset.camera_intrinsics,
-                stage_render_config,
-                optimizer,
-                stage_ray_batch,
-                apply_diffuse_render_regularization,
+            optimizer = optax.adam(schedule, b1=0.9, b2=0.999)
+            opt_state = optimizer.init(grid)
+
+            stage_render_config = vol_mod.render_config.replace(
+                num_samples_per_ray=vol_mod.render_config.num_samples_per_ray,
             )
-
-        start_iteration = 1
-        if resume_meta is not None and stage == resume_meta["stage"]:
-            from voxe_tpu.train.checkpointing import load_training_state
-
-            template = {"grid": grid, "opt_state": opt_state, "key": key}
-            state, _ = load_training_state(Path(resume_from), template)
-            grid, opt_state, key = state["grid"], state["opt_state"], state["key"]
-            start_iteration = int(resume_meta["stage_iteration"]) + 1
-            resume_meta = None
-
-        log.info(
-            f"training stage: {stage}  grid: {grid.grid_dims}  "
-            f"images: [{stage_dataset.camera_intrinsics.height} x "
-            f"{stage_dataset.camera_intrinsics.width}]  lr: {stage_lr:.5f}"
-        )
-
-        last_time = time.perf_counter()
-        for stage_iteration in range(
-            start_iteration, num_iterations_per_stage + 1, steps_per_call
-        ):
-            key, step_key = jax.random.split(key)
+            stage_ray_batch = min(
+                ray_batch_size,
+                image_batch_cache_size
+                * stage_dataset.camera_intrinsics.height
+                * stage_dataset.camera_intrinsics.width,
+            )
             if steps_per_call > 1:
-                grid, opt_state, metrics = multi_step(
-                    grid, opt_state, images, poses, step_key
+                multi_step = make_recon_train_multi_step(
+                    stage_dataset.camera_intrinsics,
+                    stage_render_config,
+                    optimizer,
+                    stage_ray_batch,
+                    num_train_images=len(stage_dataset),
+                    image_batch_size=min(image_batch_cache_size, len(stage_dataset)),
+                    steps_per_call=steps_per_call,
+                    apply_diffuse_render_regularization=apply_diffuse_render_regularization,
                 )
-                global_step += steps_per_call
             else:
-                batch_indices = jnp.asarray(next(batch_iter))
-                grid, opt_state, metrics = train_step(
-                    grid, opt_state, images, poses, batch_indices, step_key
+                train_step = make_recon_train_step(
+                    stage_dataset.camera_intrinsics,
+                    stage_render_config,
+                    optimizer,
+                    stage_ray_batch,
+                    apply_diffuse_render_regularization,
                 )
-                global_step += 1
 
-            last_iter = stage_iteration + steps_per_call > num_iterations_per_stage
-            if (
-                global_step % summary_freq == 0
-                or stage_iteration == 1
-                or last_iter
+            start_iteration = 1
+            if resume_meta is not None and stage == resume_meta["stage"]:
+                from voxe_tpu.train.checkpointing import load_training_state
+
+                template = {"grid": grid, "opt_state": opt_state, "key": key}
+                state, _ = load_training_state(Path(resume_from), template)
+                grid, opt_state, key = state["grid"], state["opt_state"], state["key"]
+                start_iteration = int(resume_meta["stage_iteration"]) + 1
+                resume_meta = None
+
+            log.info(
+                f"training stage: {stage}  grid: {grid.grid_dims}  "
+                f"images: [{stage_dataset.camera_intrinsics.height} x "
+                f"{stage_dataset.camera_intrinsics.width}]  lr: {stage_lr:.5f}"
+            )
+
+            last_time = time.perf_counter()
+            for stage_iteration in range(
+                start_iteration, num_iterations_per_stage + 1, steps_per_call
             ):
-                metrics_host = {k: float(v) for k, v in metrics.items()}
-                time_training += time.perf_counter() - last_time
-                log.info(
-                    f"Stage: {stage} Global: {global_step} "
-                    + " ".join(f"{k}: {v:.3f}" for k, v in metrics_host.items())
-                )
-                if tb_writer is not None:
-                    for k, v in metrics_host.items():
-                        tb_writer.add_scalar(k, v, global_step=global_step)
-                last_time = time.perf_counter()
+                key, step_key = jax.random.split(key)
+                if steps_per_call > 1:
+                    grid, opt_state, metrics = multi_step(
+                        grid, opt_state, images, poses, step_key
+                    )
+                    global_step += steps_per_call
+                else:
+                    batch_indices = jnp.asarray(next(batch_iter))
+                    grid, opt_state, metrics = train_step(
+                        grid, opt_state, images, poses, batch_indices, step_key
+                    )
+                    global_step += 1
 
-            if (
-                global_step % feedback_freq == 0 or stage_iteration == 1 or last_iter
-            ) and not fast_debug_mode:
-                from voxe_tpu.viz.static import (
-                    visualize_sh_vox_grid_vol_mod_rendered_feedback,
-                )
+                last_iter = stage_iteration + steps_per_call > num_iterations_per_stage
+                if (
+                    global_step % summary_freq == 0
+                    or stage_iteration == 1
+                    or last_iter
+                ):
+                    metrics_host = {k: float(v) for k, v in metrics.items()}
+                    time_training += time.perf_counter() - last_time
+                    log.info(
+                        f"Stage: {stage} Global: {global_step} "
+                        + " ".join(f"{k}: {v:.3f}" for k, v in metrics_host.items())
+                    )
+                    if tb_writer is not None:
+                        for k, v in metrics_host.items():
+                            tb_writer.add_scalar(k, v, global_step=global_step)
+                    last_time = time.perf_counter()
 
-                feedback_model = VolumetricModel(grid, vol_mod.render_config)
-                visualize_sh_vox_grid_vol_mod_rendered_feedback(
-                    feedback_model,
-                    "default",
-                    render_feedback_pose,
-                    camera_intrinsics,
-                    global_step,
-                    render_dir,
-                    training_time=time_training,
-                )
-                last_time = time.perf_counter()
+                if (
+                    global_step % feedback_freq == 0 or stage_iteration == 1 or last_iter
+                ) and not fast_debug_mode:
+                    from voxe_tpu.viz.static import (
+                        visualize_sh_vox_grid_vol_mod_rendered_feedback,
+                    )
 
-            if (
-                test_dataset is not None
-                and not fast_debug_mode
-                and (global_step % test_freq == 0 or last_iter)
-            ):
-                from voxe_tpu.train.testers import (
-                    test_sh_vox_grid_vol_mod_with_posed_images,
-                )
+                    feedback_model = VolumetricModel(grid, vol_mod.render_config)
+                    visualize_sh_vox_grid_vol_mod_rendered_feedback(
+                        feedback_model,
+                        "default",
+                        render_feedback_pose,
+                        camera_intrinsics,
+                        global_step,
+                        render_dir,
+                        training_time=time_training,
+                    )
+                    last_time = time.perf_counter()
 
-                test_model = VolumetricModel(grid, vol_mod.render_config)
-                test_sh_vox_grid_vol_mod_with_posed_images(
-                    test_model, test_dataset, tb_writer, global_step
-                )
-                last_time = time.perf_counter()
+                if (
+                    test_dataset is not None
+                    and not fast_debug_mode
+                    and (global_step % test_freq == 0 or last_iter)
+                ):
+                    from voxe_tpu.train.testers import (
+                        test_sh_vox_grid_vol_mod_with_posed_images,
+                    )
 
-            if global_step % save_freq == 0 or stage_iteration == 1 or last_iter:
-                snapshot = VolumetricModel(grid, vol_mod.render_config)
-                snapshot.save(
-                    model_dir / f"model_stage_{stage}_iter_{global_step}.pth",
-                    extra_info=extra_info,
-                )
-                from voxe_tpu.train.checkpointing import save_training_state
+                    test_model = VolumetricModel(grid, vol_mod.render_config)
+                    test_sh_vox_grid_vol_mod_with_posed_images(
+                        test_model, test_dataset, tb_writer, global_step
+                    )
+                    last_time = time.perf_counter()
 
-                save_training_state(
-                    model_dir / "training_state_latest.pth",
-                    {"grid": grid, "opt_state": opt_state, "key": key},
-                    {
-                        "stage": stage,
-                        "stage_iteration": stage_iteration,
-                        "global_step": global_step,
-                    },
-                )
+                if global_step % save_freq == 0 or stage_iteration == 1 or last_iter:
+                    snapshot = VolumetricModel(grid, vol_mod.render_config)
+                    snapshot.save(
+                        model_dir / f"model_stage_{stage}_iter_{global_step}.pth",
+                        extra_info=extra_info,
+                    )
+                    from voxe_tpu.train.checkpointing import save_training_state
+
+                    save_training_state(
+                        model_dir / "training_state_latest.pth",
+                        {"grid": grid, "opt_state": opt_state, "key": key},
+                        {
+                            "stage": stage,
+                            "stage_iteration": stage_iteration,
+                            "global_step": global_step,
+                        },
+                    )
 
         if stage != num_stages:
             grid = scale_voxel_grid(grid, stagewise_sizes[stage])
