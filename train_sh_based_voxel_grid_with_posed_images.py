@@ -118,6 +118,9 @@ from voxe_tpu.utils.misc import (
 @click.option("--resume", "resume_from", type=click.Path(file_okay=True, dir_okay=False),
               required=False, default=None,
               help="resume mid-run from a training_state_latest.pth", show_default=True)
+@click.option("--coarse_stages_on_cpu", type=click.BOOL, required=False, default=False,
+              help="run all but the final stage on host CPU (coarse stages are "
+              "trivial compute; avoids per-stage accelerator compiles)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -229,6 +232,7 @@ def main(**kwargs) -> None:
         fast_debug_mode=config.fast_debug_mode,
         steps_per_call=config.steps_per_call,
         resume_from=Path(config.resume_from) if config.resume_from else None,
+        coarse_stages_on_cpu=config.coarse_stages_on_cpu,
     )
 
 
