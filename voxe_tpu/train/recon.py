@@ -278,6 +278,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     resume_from: Optional[Path] = None,
     steps_per_call: int = 1,
     coarse_stages_on_cpu: bool = False,
+    coarse_ray_batch_size: Optional[int] = None,
 ) -> VolumetricModel:
     """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506).
 
@@ -400,8 +401,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             stage_render_config = vol_mod.render_config.replace(
                 num_samples_per_ray=vol_mod.render_config.num_samples_per_ray,
             )
+            effective_ray_batch = ray_batch_size
+            if (
+                coarse_stages_on_cpu
+                and stage != num_stages
+                and coarse_ray_batch_size is not None
+            ):
+                effective_ray_batch = coarse_ray_batch_size
             stage_ray_batch = min(
-                ray_batch_size,
+                effective_ray_batch,
                 image_batch_cache_size
                 * stage_dataset.camera_intrinsics.height
                 * stage_dataset.camera_intrinsics.width,
