@@ -73,3 +73,43 @@ def test_local_blend_masks_latents(tokenizer):
     assert arr[1, 0, 0].max() == 0.0
     # inside the mask the target keeps its own value (ones)
     assert arr[1, 12, 12].max() == 1.0
+
+
+def test_attention_replace_controller(tokenizer):
+    import jax.numpy as jnp
+
+    from voxe_tpu.models.sd.controllers import AttentionReplace
+
+    ctrl = AttentionReplace(["a red dog", "a blue dog"], tokenizer, num_steps=10)
+    # cross-attention input [src+1tgt, heads, Q, K=77]
+    attn = jnp.zeros((2, 2, 4, 77)).at[0, :, :, 2].set(1.0)  # source attends token 2
+    out = ctrl(attn, "down")
+    # target row now carries the source's attention mapped to target tokens
+    assert float(out[1, 0, 0, 2]) == 1.0
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(attn[0]))
+
+
+def test_attention_refine_controller(tokenizer):
+    import jax.numpy as jnp
+
+    from voxe_tpu.models.sd.controllers import AttentionRefine
+
+    ctrl = AttentionRefine(["a dog", "a fluffy dog"], tokenizer, num_steps=10)
+    attn = jnp.zeros((2, 2, 4, 77)).at[0, :, :, 1].set(1.0)
+    out = ctrl(attn, "down")
+    assert out.shape == attn.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # aligned positions take the source's attention (alpha=1 there)
+    assert float(np.abs(np.asarray(out[1])).sum()) > 0.0
+
+
+def test_self_attention_swap_in_edit_window(tokenizer):
+    import jax.numpy as jnp
+
+    from voxe_tpu.models.sd.controllers import AttentionReplace
+
+    ctrl = AttentionReplace(["a red dog", "a blue dog"], tokenizer, num_steps=10)
+    self_attn = jnp.zeros((2, 2, 16, 16)).at[0].set(0.7).at[1].set(0.1)
+    out = ctrl(self_attn, "down")  # K != 77 -> self-attention branch
+    # within the self-replace window the target row copies the source
+    np.testing.assert_allclose(np.asarray(out[1]), 0.7)

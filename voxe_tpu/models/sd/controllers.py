@@ -131,9 +131,13 @@ class AttentionRefine(AttentionControlEdit):
         self.alphas = jnp.asarray(alphas)[:, None, None, :]
 
     def replace_cross_attention(self, attn_base, attn_replace):
-        attn_base_replace = attn_base[0, :, :, self.mapper].transpose(0, 1, 2, 3)
-        base = jnp.take(attn_base[0], self.mapper[0], axis=-1)[None]
-        return base * self.alphas + attn_replace * (1 - self.alphas)
+        # attn_base [1, h, Q, K]; attn_replace [T, h, Q, K]: per target,
+        # gather the source's attention at the mapped token positions and
+        # blend by the alignment alphas (reference cross_attn.py:302-324)
+        gathered = jnp.stack(
+            [jnp.take(attn_base[0], m, axis=-1) for m in self.mapper]
+        )  # [T, h, Q, K]
+        return gathered * self.alphas + attn_replace * (1 - self.alphas)
 
 
 class AttentionReweight(AttentionControlEdit):

@@ -87,11 +87,14 @@ def get_mapper(x: str, y: str, tokenizer, max_len: int = 77):
     alphas[: mapper_base.shape[0]] = (mapper_base[:, 1] != -1).astype(np.float32)
     mapper = np.zeros(max_len, dtype=np.int64)
     mapper[: mapper_base.shape[0]] = mapper_base[:, 1]
-    # positions past the aligned prefix map to fresh y positions. (The
-    # reference sizes this tail by len(y_seq) instead of the prefix length,
-    # seq_aligner.py:116 — crashes for different-length prompts; fixed here.)
+    # positions past the aligned prefix map to fresh y positions, clipped to
+    # the valid token range. (The reference sizes this tail by len(y_seq)
+    # instead of the prefix length, seq_aligner.py:116 — crashes for
+    # different-length prompts; fixed here.)
     tail = max_len - mapper_base.shape[0]
-    mapper[mapper_base.shape[0] :] = len(y_seq) + np.arange(tail)
+    mapper[mapper_base.shape[0] :] = np.clip(
+        len(y_seq) + np.arange(tail), 0, max_len - 1
+    )
     return mapper, alphas
 
 
