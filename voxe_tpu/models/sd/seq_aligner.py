@@ -76,25 +76,47 @@ def get_aligned_sequences(
 
 
 def get_mapper(x: str, y: str, tokenizer, max_len: int = 77):
-    """(mapper [77], alphas [77]) aligning prompt y onto prompt x
-    (reference seq_aligner.py:107-118)."""
+    """(mapper [77], alphas [77]) for refining prompt x into prompt y.
+
+    mapper is TARGET-indexed: mapper[j] is the source (x) token position whose
+    attention the target (y) position j inherits; alphas[j] is 1 where y's
+    token aligns to an x token and 0 where it is new material (the refinement
+    keeps the target's own attention there). Consumed by
+    AttentionRefine.replace_cross_attention as
+    `base[..., mapper] * alphas + replace * (1 - alphas)`
+    (semantics of reference seq_aligner.py:107-118 / cross_attn.py:302-324,
+    with the reference's tail-size bug for different-length prompts fixed).
+    """
     x_seq = tokenizer.encode(x)
     y_seq = tokenizer.encode(y)
     score = ScoreParams(0, 1, -1)
     _, trace_back = global_align(x_seq, y_seq, score)
-    mapper_base = get_aligned_sequences(x_seq, y_seq, trace_back)
+
+    # walk the alignment path to build the y-indexed inverse map
+    path = []
+    i, j = len(x_seq), len(y_seq)
+    while i > 0 or j > 0:
+        step = trace_back[i, j]
+        if step == 3:
+            path.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+        elif step == 1:
+            path.append((-1, j - 1))
+            j -= 1
+        else:
+            path.append((i - 1, -1))
+            i -= 1
+
+    mapper = np.arange(max_len, dtype=np.int64)  # identity beyond the prompt
     alphas = np.ones(max_len, dtype=np.float32)
-    alphas[: mapper_base.shape[0]] = (mapper_base[:, 1] != -1).astype(np.float32)
-    mapper = np.zeros(max_len, dtype=np.int64)
-    mapper[: mapper_base.shape[0]] = mapper_base[:, 1]
-    # positions past the aligned prefix map to fresh y positions, clipped to
-    # the valid token range. (The reference sizes this tail by len(y_seq)
-    # instead of the prefix length, seq_aligner.py:116 — crashes for
-    # different-length prompts; fixed here.)
-    tail = max_len - mapper_base.shape[0]
-    mapper[mapper_base.shape[0] :] = np.clip(
-        len(y_seq) + np.arange(tail), 0, max_len - 1
-    )
+    alphas[: len(y_seq)] = 0.0  # default: new material keeps its own attention
+    for xi, yi in path:
+        if yi >= 0 and xi >= 0:
+            mapper[yi] = xi
+            alphas[yi] = 1.0
+        elif yi >= 0:
+            mapper[yi] = 0
     return mapper, alphas
 
 
