@@ -92,9 +92,14 @@ class CrossAttention(nn.Module):
         needs_probs = attn_edit_fn is not None or (capture_attn and self.capture)
         if not needs_probs:
             # fast path: fused scaled-dot-product attention (XLA picks the
-            # best TPU lowering; no [B, h, Q, K] probs materialized in HBM)
+            # best TPU lowering; no [B, h, Q, K] probs materialized in HBM).
+            # q/k/v can arrive in mixed precision (f32 norms x bf16 kernels);
+            # SDPA requires a uniform dtype
+            dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
             out = jax.nn.dot_product_attention(
-                q.swapaxes(-3, -2), k.swapaxes(-3, -2), v.swapaxes(-3, -2)
+                q.swapaxes(-3, -2).astype(dt),
+                k.swapaxes(-3, -2).astype(dt),
+                v.swapaxes(-3, -2).astype(dt),
             ).reshape(*hidden.shape[:-1], C)
             return nn.Dense(C, name="to_out_0")(out)
 
