@@ -125,3 +125,35 @@ def test_attention_capture_and_aggregation(sd, key):
     for m in maps:
         assert m.shape == (48, 48)
         assert np.isfinite(np.asarray(m)).all()
+
+
+def test_attn_map_jit_cache_is_bucketed(sd, key):
+    """Different prompt lengths within one bucket reuse ONE compiled program
+    (the capture UNet previously recompiled per (resolution, token-count))."""
+    rgb = jnp.full((1, 48, 48, 3), 0.5)
+    sd._attn_map_jit_cache = {}
+    maps_a, _ = sd.get_attn_map(
+        "a dog", rgb, key, timestamp=100, indices_to_fetch=[1, 2]
+    )
+    maps_b, _ = sd.get_attn_map(
+        "a dog wearing a party hat, front view", rgb, key, timestamp=100,
+        indices_to_fetch=[1, 2, 3, 4, 5],
+    )
+    assert len(maps_a) == 2 and len(maps_b) == 5
+    assert len(sd._attn_map_jit_cache) == 1  # one (48, 48, bucket=8) entry
+    # a second resolution adds exactly one more entry
+    sd.get_attn_map(
+        "a dog", jnp.full((1, 32, 32, 3), 0.5), key, timestamp=100,
+        indices_to_fetch=[1],
+    )
+    assert len(sd._attn_map_jit_cache) == 2
+
+
+def test_zero_init_matches_random_init_shapes():
+    from voxe_tpu.models.sd.config import tiny_test_config
+
+    sd_zero = StableDiffusion(config=tiny_test_config(), init_mode="zeros")
+    sd_rand = StableDiffusion(config=tiny_test_config())
+    z_shapes = jax.tree_util.tree_map(lambda x: x.shape, sd_zero.params)
+    r_shapes = jax.tree_util.tree_map(lambda x: x.shape, sd_rand.params)
+    assert z_shapes == r_shapes

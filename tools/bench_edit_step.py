@@ -1,0 +1,211 @@
+"""Benchmark + component bisection of the SDS edit step at real SD shapes.
+
+The flagship workload (reference edit_pretrained_relu_field.py:109-114 +
+thre3d_atom/thre3d_reprs/sd.py:191-215): per iteration one full-frame render
+(im_h*im_w rays x num_samples), bilinear resize to 512^2, VAE encode, 2x UNet
+forward with CFG, SDS gradient injection back through the renderer, Adam.
+
+Measures (each as a chained async dispatch train, one block at the end):
+  * full        — the complete jitted edit step
+  * render_only — the same step with do_sds=False (render + regularizers)
+  * unet_pair   — jitted 2xUNet CFG forward alone
+  * vae_encode  — jitted VAE encode alone (forward only)
+
+Run ONE at a time on the TPU (the axon relay is single-client):
+  python tools/bench_edit_step.py --iters 100
+  python tools/bench_edit_step.py --profile /tmp/edit_trace  # adds a trace
+
+Weights are zeros (identical shapes/FLOPs to real SD 2.0; values irrelevant
+for timing).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timed(label: str, fn, iters: int, *, warmup: int = 2) -> float:
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  {label:>12}: {dt * 1e3:9.2f} ms/iter  ({iters} chained iters)")
+    return dt
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--image", type=int, default=400, help="frame H=W (dog2: 400)")
+    p.add_argument("--grid", type=int, default=160)
+    p.add_argument("--samples", type=int, default=256)
+    p.add_argument("--sd_version", type=str, default="2.0")
+    p.add_argument("--profile", type=str, default="", help="trace logdir")
+    p.add_argument(
+        "--only", type=str, default="", help="comma list: full,render_only,unet_pair,vae_encode"
+    )
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+    from voxe_tpu.models.sd import StableDiffusion
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.render.rays import cast_rays, flatten_rays
+    from voxe_tpu.train.sds import make_sds_train_step
+    from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics
+    from voxe_tpu.utils.misc import (
+        compute_expected_density_scale_for_relu_field_grid,
+    )
+
+    print(f"devices: {jax.devices()}")
+    res, im, samples = args.grid, args.image, args.samples
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    grid = VoxelGrid(
+        densities=jax.random.uniform(k1, (res, res, res, 1), minval=-1.0, maxval=1.0),
+        features=jax.random.uniform(k2, (res, res, res, 3), minval=-1.0, maxval=1.0),
+        config=VoxelGridConfig(
+            voxel_size=VoxelSize(*[3.0 / res] * 3),
+            density_preactivation="identity",
+            density_postactivation="softplus",
+            gather_dtype="bfloat16",
+            expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
+                (3.0, 3.0, 3.0)
+            ),
+        ),
+    )
+    render_config = SHVoxGridRenderConfig(
+        num_samples_per_ray=samples,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True,
+    )
+
+    t_build = time.perf_counter()
+    sd = StableDiffusion(sd_version=args.sd_version, init_mode="zeros")
+    print(f"sd build: {time.perf_counter() - t_build:.1f}s")
+    text_embeddings = sd.get_text_embeds("a dog made of yarn", "")
+
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(grid)
+    intrinsics = CameraIntrinsics(im, im, float(im))
+    rays = flatten_rays(
+        cast_rays(intrinsics, jnp.eye(3), jnp.array([[0.0], [0.0], [4.0]]))
+    )
+    pixels = jnp.zeros((im * im, 3))
+    ref_d = jnp.copy(grid.densities)
+    ref_f = jnp.copy(grid.features)
+    t = jnp.asarray(500)
+    step_key = jax.random.PRNGKey(1)
+
+    which = set(args.only.split(",")) if args.only else {
+        "full", "render_only", "unet_pair", "vae_encode"
+    }
+    results = {}
+
+    def run_step(step, label):
+        state = {"g": grid, "o": opt_state}
+
+        def once():
+            state["g"], state["o"], m = step(
+                state["g"], state["o"], sd.params, text_embeddings, rays, pixels,
+                ref_d, ref_f, step_key, t,
+            )
+            return m["total_loss"]
+
+        t0 = time.perf_counter()
+        once()  # compile
+        print(f"  {label} compile: {time.perf_counter() - t0:.1f}s")
+        results[label] = timed(label, once, args.iters)
+
+    if "full" in which:
+        step = make_sds_train_step(
+            sd, render_config, optimizer, (im, im),
+            density_correlation_weight=200.0, tv_density_weight=0.1,
+        )
+        run_step(step, "full")
+
+    if "render_only" in which:
+        step = make_sds_train_step(
+            sd, render_config, optimizer, (im, im), do_sds=False,
+            density_correlation_weight=200.0, tv_density_weight=0.1,
+        )
+        run_step(step, "render_only")
+
+    if "unet_pair" in which:
+        latent = sd.config.latent_size
+
+        @jax.jit
+        def unet_pair(params, lat, tt, ctx):
+            noise_pred = sd.unet_noise_pred(params, lat, tt, ctx)
+            u, c = jnp.split(noise_pred, 2, axis=0)
+            return c + 100.0 * (c - u)
+
+        lat2 = jnp.zeros((2, latent, latent, 4))
+        t0 = time.perf_counter()
+        jax.block_until_ready(unet_pair(sd.params["unet"], lat2, t, text_embeddings))
+        print(f"  unet_pair compile: {time.perf_counter() - t0:.1f}s")
+        results["unet_pair"] = timed(
+            "unet_pair",
+            lambda: unet_pair(sd.params["unet"], lat2, t, text_embeddings),
+            args.iters,
+        )
+
+    if "vae_encode" in which:
+        size = sd.config.image_size
+
+        @jax.jit
+        def vae_enc(params, img, k):
+            return sd.encode_imgs(params, img, key=k)
+
+        img = jnp.zeros((1, size, size, 3))
+        t0 = time.perf_counter()
+        jax.block_until_ready(vae_enc(sd.params["vae"], img, step_key))
+        print(f"  vae_encode compile: {time.perf_counter() - t0:.1f}s")
+        results["vae_encode"] = timed(
+            "vae_encode", lambda: vae_enc(sd.params["vae"], img, step_key), args.iters
+        )
+
+    if args.profile:
+        from voxe_tpu.utils.profiling import trace
+
+        step = make_sds_train_step(
+            sd, render_config, optimizer, (im, im),
+            density_correlation_weight=200.0, tv_density_weight=0.1,
+        )
+        g, o = grid, opt_state
+        # compiled above or now; one warm step outside the trace
+        g, o, m = step(g, o, sd.params, text_embeddings, rays, pixels, ref_d, ref_f, step_key, t)
+        jax.block_until_ready(m["total_loss"])
+        with trace(args.profile):
+            for _ in range(5):
+                g, o, m = step(
+                    g, o, sd.params, text_embeddings, rays, pixels, ref_d, ref_f,
+                    step_key, t,
+                )
+            jax.block_until_ready(m["total_loss"])
+
+    print(json.dumps({k: v * 1e3 for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,51 @@ def gaussian_smooth_2d(image: jnp.ndarray, kernel_size: int = 3, sigma: float = 
     )[0, :, :, 0]
 
 
+def gaussian_smooth_maps(maps: jnp.ndarray, kernel_size: int = 3, sigma: float = 0.5):
+    """Batched gaussian blur: [B, H, W] -> [B, H, W] in ONE conv dispatch
+    (the per-map loop version recompiled/dispatched per token)."""
+    ax = np.arange(kernel_size) - (kernel_size - 1) / 2.0
+    g = np.exp(-0.5 * (ax / sigma) ** 2)
+    kernel2d = np.outer(g, g)
+    kernel2d = jnp.asarray(kernel2d / kernel2d.sum(), dtype=maps.dtype)
+
+    pad = kernel_size // 2
+    padded = jnp.pad(maps, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    return jax.lax.conv_general_dilated(
+        padded[..., None],
+        kernel2d[:, :, None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]
+
+
+def aggregate_token_maps(
+    attn_maps: Dict,
+    token_indices: jnp.ndarray,  # [B] int array — may be TRACED (jit-stable)
+    orig_im_h: int,
+    orig_im_w: int,
+    res: int = AGGREGATION_RES,
+    smooth: bool = True,
+) -> jnp.ndarray:
+    """Stacked per-token [B, H, W] attention maps at the render resolution
+    (reference cross_attn.py:439-490).
+
+    Takes the token indices as a (possibly traced) array so a jitted caller
+    compiles once per (resolution, bucket-size) instead of once per prompt."""
+    agg = aggregate_attention(attn_maps, res=res)  # [res, res, K]
+    token_maps = jnp.moveaxis(
+        jnp.take(agg, jnp.asarray(token_indices), axis=-1), -1, 0
+    )  # [B, res, res]
+    if smooth:
+        token_maps = gaussian_smooth_maps(token_maps)
+    return jax.image.resize(
+        token_maps,
+        (token_maps.shape[0], orig_im_h, orig_im_w),
+        method="bilinear",
+    )
+
+
 def aggregate_and_get_max_attention_per_token(
     attn_maps: Dict,
     indices_to_alter: List[int],
@@ -67,18 +112,17 @@ def aggregate_and_get_max_attention_per_token(
     smooth: bool = True,
 ) -> List[jnp.ndarray]:
     """Per-token [H, W] attention maps at the render resolution
-    (reference cross_attn.py:439-490)."""
-    agg = aggregate_attention(attn_maps, res=res)  # [res, res, K]
-    maps = []
-    for token_idx in indices_to_alter:
-        token_map = agg[:, :, token_idx]
-        if smooth:
-            token_map = gaussian_smooth_2d(token_map)
-        upsampled = jax.image.resize(
-            token_map, (orig_im_h, orig_im_w), method="bilinear"
-        )
-        maps.append(upsampled)
-    return maps
+    (reference cross_attn.py:439-490). List-returning wrapper over
+    `aggregate_token_maps` for static index lists."""
+    stacked = aggregate_token_maps(
+        attn_maps,
+        jnp.asarray(list(indices_to_alter)),
+        orig_im_h,
+        orig_im_w,
+        res=res,
+        smooth=smooth,
+    )
+    return [stacked[i] for i in range(stacked.shape[0])]
 
 
 def normalize_attn_map(attn_map: jnp.ndarray) -> jnp.ndarray:

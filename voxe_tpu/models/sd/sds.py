@@ -73,6 +73,7 @@ class StableDiffusion:
         t_sched_gamma: float = 1.0,
         seed: int = 0,
         unet_dtype=jnp.bfloat16,
+        init_mode: str = "random",
     ):
         if config is None:
             if sd_version == "tiny":  # test/plumbing alias
@@ -109,6 +110,12 @@ class StableDiffusion:
 
             self.params = load_sd_params(Path(weights_dir), self.config)
             self.tokenizer = CLIPTokenizer(Path(weights_dir) / "tokenizer")
+        elif init_mode == "zeros":
+            # benchmarking mode: identical shapes/FLOPs to real weights, but
+            # materialized as device-side zeros without tracing an init pass
+            log.info("no weights_dir given -> zero init (benchmark mode)")
+            self.params = self._zero_init()
+            self.tokenizer = HashTokenizer(self.config.clip.vocab_size)
         else:
             log.info("no weights_dir given -> random init (plumbing/test mode)")
             self.params = self._random_init(seed)
@@ -140,6 +147,16 @@ class StableDiffusion:
             jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
         )["params"]
         return {"clip": clip_params, "vae": vae_params, "unet": unet_params}
+
+    def _zero_init(self) -> Dict[str, dict]:
+        """Shape-only init (jax.eval_shape) materialized as zeros.
+
+        Avoids compiling/executing the 1.3B-param random-init program — used
+        by benchmarks where only shapes/FLOPs matter, not values."""
+        shapes = jax.eval_shape(lambda: self._random_init(0))
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
 
     # ------------------------------------------------------------------
     # text conditioning
@@ -333,10 +350,13 @@ class StableDiffusion:
         guidance_scale: float = 100.0,
     ):
         """One noised UNet pass with attention capture; returns per-token 2D
-        attention maps upsampled to the render resolution, and the t used."""
-        from voxe_tpu.models.sd.cross_attn import (
-            aggregate_and_get_max_attention_per_token,
-        )
+        attention maps upsampled to the render resolution, and the t used.
+
+        Token indices are passed to the jitted program as a TRACED array
+        padded to a static bucket (multiple of 8), so the capture UNet
+        compiles once per (resolution, bucket) — not once per prompt length
+        (prompt lengths vary per direction suffix in the refinement loop)."""
+        from voxe_tpu.models.sd.cross_attn import aggregate_token_maps
 
         orig_h, orig_w = pred_rgb.shape[1:3]
         text_embeddings = self.get_text_embeds(prompt, "")
@@ -346,15 +366,16 @@ class StableDiffusion:
         else:
             t = self.sample_timestep(k_t)
 
-        cache_key = (orig_h, orig_w, tuple(indices_to_fetch))
+        n = len(indices_to_fetch)
+        bucket = min(77, 8 * ((n + 7) // 8))
+        cache_key = (orig_h, orig_w, bucket)
         if not hasattr(self, "_attn_map_jit_cache"):
             self._attn_map_jit_cache = {}
         if cache_key not in self._attn_map_jit_cache:
             size = self.config.image_size
-            indices = list(indices_to_fetch)
 
             @jax.jit
-            def _compute(params, pred_rgb, text_embeddings, key, t):
+            def _compute(params, pred_rgb, text_embeddings, key, t, indices):
                 k_enc, k_noise = jax.random.split(key)
                 pred_512 = jax.image.resize(
                     pred_rgb, (1, size, size, 3), method="bilinear"
@@ -367,18 +388,18 @@ class StableDiffusion:
                     params["unet"], latent_model_input, t, text_embeddings,
                     capture_attn=True,
                 )
-                return aggregate_and_get_max_attention_per_token(
-                    attn_maps,
-                    indices_to_alter=indices,
-                    orig_im_h=orig_h,
-                    orig_im_w=orig_w,
+                return aggregate_token_maps(
+                    attn_maps, indices, orig_im_h=orig_h, orig_im_w=orig_w
                 )
 
             self._attn_map_jit_cache[cache_key] = _compute
 
-        maps = self._attn_map_jit_cache[cache_key](
-            self.params, pred_rgb, text_embeddings, k_run, t
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n] = np.asarray(list(indices_to_fetch), np.int32)
+        stacked = self._attn_map_jit_cache[cache_key](
+            self.params, pred_rgb, text_embeddings, k_run, t, jnp.asarray(padded)
         )
+        maps = [stacked[i] for i in range(n)]
         return maps, int(t)
 
 
