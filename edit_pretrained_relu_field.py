@@ -171,6 +171,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--steps_per_call", type=click.INT, required=False, default=1,
               help="edit iterations fused into one device dispatch (random-pose "
               "directional mode only)", show_default=True)
+@click.option("--num_devices", type=click.INT, required=False, default=1,
+              help="data-parallel ray batching over this many devices for the "
+              "SDS and refinement stages (1-D jax.sharding.Mesh)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -216,6 +219,10 @@ def main(**kwargs) -> None:
 
     sd_weights_dir = Path(config.sd_weights_dir) if config.sd_weights_dir else None
 
+    from voxe_tpu.parallel.mesh import maybe_mesh
+
+    edit_mesh = maybe_mesh(config.num_devices)
+
     train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
         sds_vol_mod=sds_vol_mod,
         pretrained_vol_mod=pretrained_vol_mod,
@@ -253,6 +260,7 @@ def main(**kwargs) -> None:
         sd_weights_dir=sd_weights_dir,
         fast_debug_mode=config.fast_debug_mode,
         steps_per_call=config.steps_per_call,
+        mesh=edit_mesh,
     )
 
     if config.do_refinement:
@@ -298,6 +306,7 @@ def main(**kwargs) -> None:
             # refinement uses SD 1.4 (reference attn_grid_trainer.py:154)
             # unless the tiny plumbing config was requested
             sd_version="tiny" if config.sd_version == "tiny" else "1.4",
+            mesh=edit_mesh,
         )
 
     if config.post_process_scc:

@@ -93,6 +93,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
               required=False, default=None, help="converted SD weights dir", show_default=True)
 @click.option("--sd_version", type=click.STRING, required=False, default="1.4",
               help="SD version for attention extraction", show_default=True)
+@click.option("--num_devices", type=click.INT, required=False, default=1,
+              help="data-parallel ray batching over this many devices "
+              "(1-D jax.sharding.Mesh)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -166,6 +169,7 @@ def main(**kwargs) -> None:
         downsample_refine_grid=config.downsample_refine_grid,
         sd_version=config.sd_version,
         sd_weights_dir=sd_weights_dir,
+        num_devices=config.num_devices,
     )
 
 

@@ -89,3 +89,141 @@ def test_shard_and_replicate_constraints(mesh):
 
     out2 = g(x)
     assert out2.sharding.is_fully_replicated
+
+
+def _tiny_grid(res=12):
+    return VoxelGrid(
+        jnp.zeros((res, res, res, 1)), jnp.zeros((res, res, res, 3)),
+        VoxelGridConfig(
+            voxel_size=VoxelSize(*[3.0 / res] * 3),
+            density_preactivation="identity",
+            density_postactivation="softplus",
+        ),
+        attn=jnp.zeros((res, res, res, 1)),
+    )
+
+
+def test_sds_step_sharded_matches_unsharded(mesh, key):
+    """The SDS edit step under ray-DP == single-device, same seed."""
+    from voxe_tpu.models.sd import StableDiffusion, tiny_test_config
+    from voxe_tpu.render.rays import Rays, cast_rays, flatten_rays
+    from voxe_tpu.train.sds import make_sds_train_step
+
+    grid = _tiny_grid()
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=16, camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True, perturb_sampled_points=False,
+    )
+    sd = StableDiffusion(config=tiny_test_config(), unet_dtype=jnp.float32)
+    opt = optax.adam(0.01)
+    opt_state = opt.init(grid)
+    intr = CameraIntrinsics(16, 16, 16.0)
+    rays = flatten_rays(
+        cast_rays(intr, jnp.eye(3), jnp.array([[0.0], [0.0], [4.0]]))
+    )
+    text = sd.get_text_embeds("a yarn doll", "")
+    pixels = jnp.zeros((16 * 16, 3))
+    ref_d, ref_f = jnp.copy(grid.densities), jnp.copy(grid.features)
+    t = jnp.asarray(400)
+
+    outs = {}
+    for name, m in (("mesh", mesh), ("single", None)):
+        step = make_sds_train_step(
+            sd, rcfg, opt, (16, 16),
+            density_correlation_weight=200.0, tv_density_weight=0.1, mesh=m,
+        )
+        g, _, metrics = step(
+            grid, opt_state, sd.params, text, rays, pixels, ref_d, ref_f, key, t
+        )
+        outs[name] = (np.asarray(g.densities), float(metrics["total_loss"]))
+
+    np.testing.assert_allclose(outs["mesh"][0], outs["single"][0], rtol=1e-4, atol=1e-5)
+    assert outs["mesh"][1] == pytest.approx(outs["single"][1], rel=1e-4)
+
+
+def test_refine_attn_step_sharded_matches_unsharded(mesh, key):
+    """The dual attn-grid refinement update under ray-DP == single-device.
+
+    Mirrors refine.py's jitted attn_train_step (the trainer builds it inline;
+    this replicates its body against both mesh settings)."""
+    from voxe_tpu.render.interface import render_sh_voxel_grid_attn
+    from voxe_tpu.render.rays import Rays, cast_rays, flatten_rays
+    from voxe_tpu.train.losses import tv_loss_on_grid
+    from voxe_tpu.train.refine import calc_loss_on_attn_grid
+    from voxe_tpu.parallel.mesh import replicate as repl, shard_rays as shard
+
+    base_grid = _tiny_grid()
+    # non-trivial densities so the attn render has support
+    base_grid = base_grid.replace(
+        densities=jnp.full_like(base_grid.densities, 5.0)
+    )
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=16, camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True, perturb_sampled_points=False,
+    )
+    intr = CameraIntrinsics(16, 16, 16.0)
+    rays0 = flatten_rays(
+        cast_rays(intr, jnp.eye(3), jnp.array([[0.0], [0.0], [4.0]]))
+    )
+    opt = optax.adam(0.01)
+    attn0 = jnp.zeros_like(base_grid.attn) + 0.1
+    target = jnp.linspace(0.0, 1.0, 16 * 16).reshape(16, 16)
+
+    def make_step(m):
+        @jax.jit
+        def step(attn, opt_state, rays, target_map, k):
+            if m is not None:
+                attn = repl(m, attn)
+                rays = Rays(shard(m, rays.origins), shard(m, rays.directions))
+                target_map = shard(m, target_map.reshape(-1))
+
+            def loss_fn(a):
+                grid = base_grid.replace(attn=a)
+                out = render_sh_voxel_grid_attn(grid, rays, rcfg, key=k)
+                attn_loss = calc_loss_on_attn_grid(out.colour[..., 0], target_map)
+                return attn_loss + tv_loss_on_grid(a) * 0.001, attn_loss
+
+            (loss, attn_l), grads = jax.value_and_grad(loss_fn, has_aux=True)(attn)
+            updates, new_opt = opt.update(grads, opt_state, attn)
+            return optax.apply_updates(attn, updates), new_opt, loss
+
+        return step
+
+    a_m, _, l_m = make_step(mesh)(attn0, opt.init(attn0), rays0, target, key)
+    a_s, _, l_s = make_step(None)(attn0, opt.init(attn0), rays0, target, key)
+    np.testing.assert_allclose(np.asarray(a_m), np.asarray(a_s), rtol=1e-4, atol=1e-5)
+    assert float(l_m) == pytest.approx(float(l_s), rel=1e-4)
+    assert float(l_m) > 0.0  # the masked loss actually fired
+
+
+def test_recon_trainer_honors_num_devices(tmp_path):
+    """End-to-end: the production recon trainer on the 8-device mesh runs and
+    produces finite losses (VERDICT round-1: num_devices was ignored)."""
+    from voxe_tpu.data.dataset import PosedImagesDataset
+    from voxe_tpu.data.synthetic import generate_synthetic_scene
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
+
+    scene_dir = generate_synthetic_scene(
+        tmp_path / "data", num_train=4, num_test=1, image_size=16, focal=16.0,
+        grid_res=16,
+    )
+    ds = PosedImagesDataset(
+        scene_dir / "images",
+        scene_dir / "train_camera_params.json",
+        rgba_white_bkgd=True,
+    )
+    res = 8
+    grid = _tiny_grid(res)
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=8, camera_bounds=ds.camera_bounds, white_bkgd=True,
+        render_num_samples_per_ray=8, parallel_rays_chunk_size=256,
+    )
+    vol_mod = VolumetricModel(grid, rcfg)
+    out = train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod, ds, tmp_path / "out",
+        ray_batch_size=256, num_stages=1, num_iterations_per_stage=4,
+        save_freq=100, test_freq=100, feedback_freq=100, summary_freq=2,
+        fast_debug_mode=True, num_devices=8,
+    )
+    assert np.isfinite(np.asarray(out.grid.densities)).all()

@@ -121,6 +121,9 @@ from voxe_tpu.utils.misc import (
 @click.option("--coarse_stages_on_cpu", type=click.BOOL, required=False, default=False,
               help="run all but the final stage on host CPU (coarse stages are "
               "trivial compute; avoids per-stage accelerator compiles)", show_default=True)
+@click.option("--num_devices", type=click.INT, required=False, default=1,
+              help="data-parallel ray batching over this many devices "
+              "(1-D jax.sharding.Mesh; grads all-reduce over ICI)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -233,6 +236,7 @@ def main(**kwargs) -> None:
         steps_per_call=config.steps_per_call,
         resume_from=Path(config.resume_from) if config.resume_from else None,
         coarse_stages_on_cpu=config.coarse_stages_on_cpu,
+        num_devices=config.num_devices,
     )
 
 

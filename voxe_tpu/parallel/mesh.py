@@ -36,6 +36,14 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = RAY_AXIS) -> M
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def maybe_mesh(num_devices: int = 1, axis_name: str = RAY_AXIS) -> Optional[Mesh]:
+    """The trainers' user-facing entry: None (single-device semantics) for
+    num_devices <= 1, else a 1-D ray-DP mesh over that many devices."""
+    if num_devices <= 1:
+        return None
+    return make_mesh(num_devices, axis_name)
+
+
 def shard_rays(mesh: Mesh, value, axis_name: str = RAY_AXIS):
     """Constrain a per-ray array (leading dim = rays) to be sharded over the
     mesh's ray axis. Used inside jitted train steps."""

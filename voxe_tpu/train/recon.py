@@ -347,6 +347,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         log.info("creating a camera-rays visualization ...")
         visualize_camera_rays(train_dataset, output_dir, num_rays_per_image=1)
 
+    # data-parallel ray batching over a device mesh (SURVEY.md §2: the
+    # TPU-native scaling layer the single-GPU reference never had)
+    mesh = None
+    if num_devices > 1:
+        from voxe_tpu.parallel.mesh import maybe_mesh
+
+        mesh = maybe_mesh(num_devices)
+        log.info(f"data-parallel ray batching over {num_devices} devices")
+
     rng = np.random.default_rng(seed)
     log.info("beginning reconstruction training")
     time_training = 0.0
@@ -379,10 +388,14 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         # reserving the accelerator for the final full-resolution stage costs
         # nothing and avoids per-stage accelerator compiles entirely.
         stage_device_ctx = contextlib.nullcontext()
+        stage_mesh = mesh
         if coarse_stages_on_cpu and stage != num_stages:
             cpu_devices = jax.devices("cpu")
             if cpu_devices:
                 stage_device_ctx = jax.default_device(cpu_devices[0])
+                # the mesh spans the default-platform devices; a CPU-placed
+                # coarse stage runs un-meshed (its compute is trivial anyway)
+                stage_mesh = None
         with stage_device_ctx:
             stage_dataset = stagewise_datasets[stage - 1]
             images, poses = stage_dataset.device_arrays()
@@ -424,6 +437,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     image_batch_size=min(image_batch_cache_size, len(stage_dataset)),
                     steps_per_call=steps_per_call,
                     apply_diffuse_render_regularization=apply_diffuse_render_regularization,
+                    mesh=stage_mesh,
                 )
             else:
                 train_step = make_recon_train_step(
@@ -432,6 +446,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     optimizer,
                     stage_ray_batch,
                     apply_diffuse_render_regularization,
+                    mesh=stage_mesh,
                 )
 
             start_iteration = 1

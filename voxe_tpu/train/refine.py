@@ -45,8 +45,10 @@ from voxe_tpu.utils.logging import log
 def calc_loss_on_attn_grid(attn_render, attn_map):
     """Masked L1 between the rendered attn channel and the 2D target map:
     only pixels where the render is positive (i.e. density present) count
-    (reference refinement_functions.py:42-76)."""
-    attn_render = attn_render.reshape(attn_map.shape)
+    (reference refinement_functions.py:42-76). Computed flat so a ray-axis
+    sharding on the render carries straight through."""
+    attn_render = attn_render.reshape(-1)
+    attn_map = attn_map.reshape(-1)
     mask = (attn_render > 0.0).astype(attn_map.dtype)
     diff_masked = jnp.abs(attn_render - attn_map) * mask
     return jnp.sum(diff_masked) / (jnp.sum(mask) + 1e-8)
@@ -93,6 +95,8 @@ def refine_edited_relu_field(
     sd_version: str = "1.4",
     seed: int = 42,
     fast_debug_mode: bool = False,
+    mesh=None,
+    num_devices: int = 1,
 ) -> None:
     """Train edit/object attn grids against SD cross-attention maps, then
     graph-cut + merge (reference attn_grid_trainer.py:63-627)."""
@@ -138,11 +142,28 @@ def refine_edited_relu_field(
     base_grid = vol_mod_edit.grid  # densities/features frozen
     render_config = vol_mod_edit.render_config
 
+    if mesh is None and num_devices > 1:
+        from voxe_tpu.parallel.mesh import maybe_mesh
+
+        mesh = maybe_mesh(num_devices)
+        log.info(f"refinement: ray-DP over {num_devices} devices")
+
     @jax.jit
     def attn_train_step(
         edit_attn, obj_attn, opt_e, opt_o, rays, edit_map, obj_map, key
     ):
         k1, k2 = jax.random.split(key)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate, shard_rays
+            from voxe_tpu.render.rays import Rays
+
+            edit_attn = replicate(mesh, edit_attn)
+            obj_attn = replicate(mesh, obj_attn)
+            rays = Rays(
+                shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions)
+            )
+            edit_map = shard_rays(mesh, edit_map.reshape(-1))
+            obj_map = shard_rays(mesh, obj_map.reshape(-1))
 
         def loss_fn(attn, target_map, k):
             grid = base_grid.replace(attn=attn)
