@@ -17,7 +17,10 @@ from voxe_tpu.models.sd.config import CLIPTextConfig
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # transformers' "gelu" is the exact erf form (GELUActivation), not the
+    # tanh approximation flax defaults to — keep numeric parity with the
+    # checkpoints the reference loads
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPAttention(nn.Module):

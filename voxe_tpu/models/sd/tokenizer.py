@@ -74,6 +74,10 @@ class CLIPTokenizer:
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.byte_encoder = _bytes_to_unicode()
         self.cache = {}
+        # derive the special ids from the loaded vocab (a reduced/test vocab
+        # has them at different positions than the 49408-token CLIP vocab)
+        self.bos_token_id = self.encoder.get("<|startoftext|>", BOS_TOKEN_ID)
+        self.eos_token_id = self.encoder.get("<|endoftext|>", EOS_TOKEN_ID)
 
     def _bpe(self, token: str) -> List[str]:
         if token in self.cache:
@@ -123,10 +127,12 @@ class CLIPTokenizer:
         truncated like the reference tokenizer call sd.py:106,123)."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), MODEL_MAX_LENGTH), EOS_TOKEN_ID, dtype=np.int32)
+        out = np.full(
+            (len(texts), MODEL_MAX_LENGTH), self.eos_token_id, dtype=np.int32
+        )
         for row, text in enumerate(texts):
-            ids = [BOS_TOKEN_ID] + self.encode(text)[: MODEL_MAX_LENGTH - 2] + [
-                EOS_TOKEN_ID
+            ids = [self.bos_token_id] + self.encode(text)[: MODEL_MAX_LENGTH - 2] + [
+                self.eos_token_id
             ]
             out[row, : len(ids)] = ids
         return out
@@ -149,11 +155,19 @@ class HashTokenizer:
             ids.append(int.from_bytes(digest[:4], "little") % (self.vocab_size - 3) + 1)
         return ids
 
+    @property
+    def bos_token_id(self) -> int:
+        return min(BOS_TOKEN_ID, self.vocab_size - 2)
+
+    @property
+    def eos_token_id(self) -> int:
+        return min(EOS_TOKEN_ID, self.vocab_size - 1)
+
     def __call__(self, texts) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        bos = min(BOS_TOKEN_ID, self.vocab_size - 2)
-        eos = min(EOS_TOKEN_ID, self.vocab_size - 1)
+        bos = self.bos_token_id
+        eos = self.eos_token_id
         out = np.full((len(texts), MODEL_MAX_LENGTH), eos, dtype=np.int32)
         for row, text in enumerate(texts):
             ids = [bos] + self.encode(text)[: MODEL_MAX_LENGTH - 2] + [eos]
@@ -165,7 +179,5 @@ def get_num_tokens(tokenizer, prompt: str) -> int:
     """Count of non-EOS ids in the encoded prompt (reference sd.py:104-114:
     counts everything that is not the EOS/pad id, BOS included)."""
     ids = tokenizer(prompt)[0]
-    eos = EOS_TOKEN_ID if not hasattr(tokenizer, "vocab_size") else min(
-        EOS_TOKEN_ID, tokenizer.vocab_size - 1
-    )
+    eos = getattr(tokenizer, "eos_token_id", EOS_TOKEN_ID)
     return int((ids != eos).sum())

@@ -109,6 +109,15 @@ def refine_edited_relu_field(
     sd = sd_model or StableDiffusion(
         sd_version, config=sd_config, weights_dir=sd_weights_dir
     )
+    from voxe_tpu.models.sd.tokenizer import HashTokenizer
+
+    if isinstance(sd.tokenizer, HashTokenizer) and sd.sd_version != "tiny":
+        log.warning(
+            "refinement is running with the HASH-fallback tokenizer: edit_idx/"
+            "object_idx refer to hash-token positions, NOT CLIP BPE tokens. "
+            "Localized edits will mis-segment — supply a tokenizer/ dir inside "
+            "sd_weights_dir for correct token indexing."
+        )
 
     camera_bounds = train_dataset.camera_bounds
     camera_intrinsics = train_dataset.camera_intrinsics
