@@ -106,6 +106,7 @@ def main(**kwargs) -> None:
         vol_mod_edit=vol_mod_edit,
         vol_mod_object=vol_mod_obj,
         vol_mod_output=vol_mod_output,
+        viz_dir=render_dir,
         K=config.kval,
         edit_mask_thresh=config.edit_mask_thresh,
         num_obj_voxels_thresh=config.num_obj_voxels_thresh,

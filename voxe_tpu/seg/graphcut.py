@@ -186,10 +186,15 @@ def get_edit_region(
     min_num_edit_voxels: int = 300,
     top_k_edit_thresh: int = 300,
     top_k_obj_thresh: int = 200,
+    viz_dir=None,
 ):
     """Graph-cut the attn grids and write the resulting keep-grid into
     vol_mod_output.grid.attn: -10 empty / -5 object / 0 edit
-    (reference refinement_functions.py:351-405). Returns (segments, idxs)."""
+    (reference refinement_functions.py:351-405). Returns (segments, idxs).
+
+    With `viz_dir`, dumps the reference's 3D diagnostic scatters (voxel cloud
+    by attn-diff sign / feature space / cluster id) as PNGs
+    (reference refinement_functions.py:89-174)."""
     densities = np.asarray(vol_mod_edit.grid.densities)
     obj_densities = np.asarray(vol_mod_object.grid.densities)
     assert np.array_equal(densities, obj_densities), (
@@ -215,6 +220,22 @@ def get_edit_region(
         downsample_grid=downsample_grid,
         downsample_factor=downsample_factor,
     )
+
+    if viz_dir is not None and len(idxs):
+        from voxe_tpu.viz.refinement import plot_attn_scatter
+
+        factor = downsample_factor if downsample_grid else 1
+        coords = np.asarray(idxs) * factor
+        ii, jj, kk = coords[:, 0], coords[:, 1], coords[:, 2]
+        plot_attn_scatter(
+            locations=coords,
+            features=features[ii, jj, kk],
+            edit_attn=edit_attn[ii, jj, kk, 0],
+            object_attn=obj_attn[ii, jj, kk, 0],
+            cluster_ids=np.asarray(segments),
+            step=0,
+            out_dir=viz_dir,
+        )
 
     keep_grid = np.full_like(edit_attn, -10.0)
     keep_grid[densities > 0.0] = -5.0

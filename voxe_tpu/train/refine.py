@@ -280,21 +280,36 @@ def refine_edited_relu_field(
         if (
             global_step % feedback_freq == 0 or global_step == 1 or last_iter
         ) and not fast_debug_mode:
-            import imageio.v2 as imageio
-            from matplotlib import pyplot as plt
-
-            from voxe_tpu.models.sd.cross_attn import normalize_attn_map
+            from voxe_tpu.viz.refinement import (
+                visualize_attention_maps,
+                visualize_attn_render_diagnostics,
+                visualize_render_diff,
+            )
             from voxe_tpu.viz.static import (
                 visualize_sh_vox_grid_vol_mod_rendered_feedback_attn,
             )
 
-            jet = plt.get_cmap("jet")
-            for name, arr in (
-                (f"edit_gt_attn_{global_step}", edit_attn_map),
-                (f"object_gt_attn_{global_step}", object_attn_map),
-            ):
-                img = jet(np.asarray(normalize_attn_map(arr)))[..., :3]
-                imageio.imwrite(render_dir / f"{name}.png", (img * 255).astype(np.uint8))
+            # edit/object/diff target maps (reference refinement_functions.py:19-39)
+            visualize_attention_maps(
+                edit_attn_map, object_attn_map, global_step, render_dir
+            )
+
+            # attn-grid render diagnostics at the current pose (reference
+            # refinement_functions.py:42-87): mask / pred / masked-diff per
+            # grid + edit-vs-object render difference
+            edit_render = render_sh_voxel_grid_attn(
+                base_grid.replace(attn=edit_attn), rays, render_config
+            ).colour[..., 0].reshape(im_h, im_w)
+            obj_render = render_sh_voxel_grid_attn(
+                base_grid.replace(attn=obj_attn), rays, render_config
+            ).colour[..., 0].reshape(im_h, im_w)
+            visualize_attn_render_diagnostics(
+                edit_render, edit_attn_map, "edit", global_step, render_dir
+            )
+            visualize_attn_render_diagnostics(
+                obj_render, object_attn_map, "object", global_step, render_dir
+            )
+            visualize_render_diff(edit_render, obj_render, global_step, render_dir)
 
             feedback_pose = render_feedback_pose or pose
             visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
@@ -327,6 +342,7 @@ def refine_edited_relu_field(
         vol_mod_edit=vol_mod_edit,
         vol_mod_object=vol_mod_object,
         vol_mod_output=vol_mod_output,
+        viz_dir=None if fast_debug_mode else render_dir,
         K=kval,
         edit_mask_thresh=edit_mask_thresh,
         num_obj_voxels_thresh=num_obj_voxels_thresh,
