@@ -128,3 +128,108 @@ def test_end_to_end_reconstruction(scene_dir, train_dataset, tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.grid.densities), np.asarray(model.grid.densities)
     )
+
+
+def test_streaming_memmap_dataset(scene_dir):
+    """cache_backing='auto' with a tiny RAM budget -> disk-backed memmap with
+    identical pixel content, sample_pixels gathers correctly, and
+    device_arrays refuses to densify (reference lazy mode datasets.py:113-123)."""
+    dense = PosedImagesDataset(
+        scene_dir / "images", scene_dir / "train_camera_params.json",
+        rgba_white_bkgd=True,
+    )
+    streaming = PosedImagesDataset(
+        scene_dir / "images", scene_dir / "train_camera_params.json",
+        rgba_white_bkgd=True, max_ram_gib=0.0,
+    )
+    assert streaming.streaming and not dense.streaming
+    assert isinstance(streaming.images, np.memmap)
+    np.testing.assert_array_equal(np.asarray(streaming.images), dense.images)
+
+    h, w = dense.camera_intrinsics.height, dense.camera_intrinsics.width
+    rng = np.random.default_rng(0)
+    flat = rng.integers(0, h * w, 64)
+    imgs = rng.integers(0, len(dense), 64)
+    got = streaming.sample_pixels(flat, imgs)
+    want = dense.images[imgs, flat // w, flat % w]
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(RuntimeError):
+        streaming.device_arrays()
+
+
+def test_streaming_recon_training(scene_dir, tmp_path):
+    """End-to-end recon on a memmap-backed (streaming) dataset: the trainer
+    takes the host-streaming path and the loss decreases."""
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
+
+    ds = PosedImagesDataset(
+        scene_dir / "images", scene_dir / "train_camera_params.json",
+        rgba_white_bkgd=True, max_ram_gib=0.0,
+    )
+    assert ds.streaming
+    res = 16
+    cfg = VoxelGridConfig(
+        voxel_size=VoxelSize(*[3.0 / res] * 3),
+        density_preactivation="identity",
+        density_postactivation="softplus",
+    )
+    grid = VoxelGrid(
+        jnp.zeros((res, res, res, 1)), jnp.zeros((res, res, res, 3)), cfg
+    )
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=16, camera_bounds=ds.camera_bounds, white_bkgd=True,
+        render_num_samples_per_ray=16, parallel_rays_chunk_size=1024,
+    )
+    model = VolumetricModel(grid, rcfg)
+    out = train_sh_vox_grid_vol_mod_with_posed_images(
+        model, ds, tmp_path / "out",
+        ray_batch_size=512, num_stages=1, num_iterations_per_stage=20,
+        save_freq=100, test_freq=100, feedback_freq=100, summary_freq=5,
+        fast_debug_mode=True,
+    )
+    assert np.isfinite(np.asarray(out.grid.densities)).all()
+
+
+def test_real_scene_config_smoke(scene_dir, tmp_path):
+    """The real-scene flag combo (linear-disparity sampling, non-white bkgd,
+    streaming dataset — bash_scripts/real_scenes/edit_demo_real.sh at tiny
+    scale) trains without error."""
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
+
+    ds = PosedImagesDataset(
+        scene_dir / "images", scene_dir / "train_camera_params.json",
+        rgba_white_bkgd=False, max_ram_gib=0.0,
+    )
+    res = 20  # the 200^3 real-scene grid, downscaled 10x
+    cfg = VoxelGridConfig(
+        voxel_size=VoxelSize(*[3.0 / res] * 3),
+        density_preactivation="identity",
+        density_postactivation="softplus",
+    )
+    grid = VoxelGrid(
+        jnp.zeros((res, res, res, 1)), jnp.zeros((res, res, res, 3)), cfg
+    )
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=26,  # 416 / 16
+        camera_bounds=ds.camera_bounds,
+        white_bkgd=False,
+        linear_disparity_sampling=True,
+        render_num_samples_per_ray=26,
+        parallel_rays_chunk_size=1024,
+    )
+    model = VolumetricModel(grid, rcfg)
+    out = train_sh_vox_grid_vol_mod_with_posed_images(
+        model, ds, tmp_path / "out",
+        ray_batch_size=512, num_stages=2, num_iterations_per_stage=8,
+        learning_rate=0.005,
+        save_freq=100, test_freq=100, feedback_freq=100, summary_freq=4,
+        fast_debug_mode=True,
+    )
+    assert np.isfinite(np.asarray(out.grid.densities)).all()

@@ -47,7 +47,17 @@ class PosedImagesDataset:
         rgba_white_bkgd: bool = False,
         directional: bool = False,
         cache_on_device: bool = True,
+        cache_backing: str = "auto",
+        max_ram_gib: float = 4.0,
     ) -> None:
+        """`cache_backing`: "ram" (dense host array, default for small scenes),
+        "memmap" (disk-backed decode — bounded host RAM), or "auto" (memmap
+        when the decoded scene would exceed `max_ram_gib`).
+
+        TPU-first analog of the reference's GPU->CPU->lazy chain
+        (datasets.py:80-123): small scenes live wholly in HBM (one jitted
+        gather per step); big scenes decode once into a disk-backed memmap and
+        the trainers stream per-step pixel batches host-side."""
         images_dir, camera_params_json = Path(images_dir), Path(camera_params_json)
         assert images_dir.exists(), f"Images dir doesn't exist: {images_dir}"
         assert camera_params_json.exists(), (
@@ -75,23 +85,49 @@ class PosedImagesDataset:
         if normalize_scene_scale:
             self._normalize_scene_scale()
 
-        # ---- eager decode into dense arrays (host), then optional device put
-        images, poses, directions = [], [], []
-        for path in self._image_file_paths:
-            images.append(self._process_image(Image.open(path)))
+        # ---- decode once (host), RAM- or memmap-backed, then optional
+        # device put
+        n = len(self._image_file_paths)
+        h = self._camera_intrinsics.height
+        w = self._camera_intrinsics.width
+        decoded_gib = n * h * w * 3 * 4 / 1024**3
+        if cache_backing == "auto":
+            cache_backing = "memmap" if decoded_gib > max_ram_gib else "ram"
+        assert cache_backing in ("ram", "memmap"), cache_backing
+        self._streaming = cache_backing == "memmap"
+        self._memmap_file = None
+
+        if self._streaming:
+            import tempfile
+
+            self._memmap_file = tempfile.NamedTemporaryFile(
+                prefix="voxe_dataset_", suffix=".mm"
+            )
+            self._images = np.memmap(
+                self._memmap_file.name, dtype=np.float32, mode="w+",
+                shape=(n, h, w, 3),
+            )
+            log.info(
+                f"dataset: {decoded_gib:.1f} GiB decoded size -> disk-backed "
+                f"memmap cache ({self._memmap_file.name}); trainers stream "
+                f"per-step pixel batches"
+            )
+        else:
+            self._images = np.empty((n, h, w, 3), dtype=np.float32)
+
+        poses, directions = [], []
+        for i, path in enumerate(self._image_file_paths):
+            img = self._process_image(Image.open(path))
+            if self._image_data_range != (0.0, 1.0):
+                img = adjust_dynamic_range(img, (0.0, 1.0), self._image_data_range)
+            self._images[i] = img
             params = self._camera_parameters[path.name]
             pose = self.extract_pose(params)
             poses.append(np.hstack((pose.rotation, pose.translation)))
             if directional:
                 directions.append(self.extract_dir(params))
-        self._images = np.stack(images).astype(np.float32)  # [N, H, W, 3]
         self._poses = np.stack(poses).astype(np.float32)  # [N, 3, 4]
         self._directions: Optional[List[str]] = directions if directional else None
-
-        if self._image_data_range != (0.0, 1.0):
-            self._images = adjust_dynamic_range(
-                self._images, (0.0, 1.0), self._image_data_range
-            )
 
         self._device_images = None
         self._device_poses = None
@@ -105,8 +141,26 @@ class PosedImagesDataset:
     # ------------------------------------------------------------------
     @property
     def images(self) -> np.ndarray:
-        """[N, H, W, 3] float32 (channels-last — TPU layout)."""
+        """[N, H, W, 3] float32 (channels-last — TPU layout). In streaming
+        mode this is a disk-backed memmap (index it, don't densify)."""
         return self._images
+
+    @property
+    def streaming(self) -> bool:
+        """True when the decoded scene is memmap-backed; trainers should
+        stream per-step pixel batches instead of device-caching the scene."""
+        return self._streaming
+
+    def sample_pixels(self, flat_indices: np.ndarray, image_indices: np.ndarray):
+        """Gather pixels host-side for streaming mode: `image_indices[k]`
+        selects the frame, `flat_indices[k]` the pixel within it. Bounded
+        memory regardless of scene size."""
+        h = self._camera_intrinsics.height
+        w = self._camera_intrinsics.width
+        rows, cols = flat_indices // w, flat_indices % w
+        return np.ascontiguousarray(
+            self._images[image_indices, rows, cols]
+        ).astype(np.float32)
 
     @property
     def poses(self) -> np.ndarray:
@@ -119,6 +173,12 @@ class PosedImagesDataset:
 
     def device_arrays(self):
         """(images, poses) as jax arrays resident on the default device."""
+        if self._streaming:
+            raise RuntimeError(
+                "streaming (memmap-backed) dataset: the decoded scene exceeds "
+                "the cache budget — use sample_pixels()/poses per step instead "
+                "of device-caching the whole scene"
+            )
         if self._device_images is None:
             import jax
 

@@ -173,6 +173,62 @@ def make_recon_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_recon_train_step_streaming(
+    intrinsics: CameraIntrinsics,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    apply_diffuse_render_regularization: bool = True,
+    mesh=None,
+) -> Callable:
+    """Jitted update for STREAMING datasets (memmap-backed scenes too large to
+    device-cache; reference lazy mode datasets.py:113-123 analog).
+
+    The host samples pixel indices and gathers the [R, 3] pixel batch from the
+    memmap; everything else (ray casting from the tiny pose array, render,
+    grads, Adam) stays on-device in one program.
+
+    signature: step(grid, opt_state, batch_poses [B,3,4], flat_idx [R],
+                    pixels [R,3], key) -> (grid, opt_state, metrics)
+    """
+
+    def step(grid, opt_state, batch_poses, flat_idx, pixels, key):
+        _, k_render = jax.random.split(key)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate, shard_rays
+
+            flat_idx = shard_rays(mesh, flat_idx)
+            pixels = shard_rays(mesh, pixels)
+            grid = replicate(mesh, grid)
+        rays = cast_rays_at_indices(intrinsics, batch_poses, flat_idx)
+
+        def loss_fn(g):
+            out_spec, out_diff = render_specular_and_diffuse(
+                g, rays, render_config, k_render
+            )
+            spec_l1 = jnp.mean(jnp.abs(out_spec.colour - pixels))
+            spec_mse = jnp.mean((out_spec.colour - pixels) ** 2)
+            total = spec_l1
+            diff_l1 = diff_mse = jnp.zeros(())
+            if apply_diffuse_render_regularization:
+                diff_l1 = jnp.mean(jnp.abs(out_diff.colour - pixels))
+                diff_mse = jnp.mean((out_diff.colour - pixels) ** 2)
+                total = total + diff_l1
+            return total, dict(
+                specular_loss=spec_l1,
+                diffuse_loss=diff_l1,
+                specular_psnr=mse2psnr(spec_mse),
+                diffuse_psnr=mse2psnr(diff_mse),
+            )
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        return new_grid, new_opt_state, metrics
+
+    return jax.jit(step)
+
+
 def make_recon_train_multi_step(
     intrinsics: CameraIntrinsics,
     render_config: SHVoxGridRenderConfig,
@@ -398,7 +454,12 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 stage_mesh = None
         with stage_device_ctx:
             stage_dataset = stagewise_datasets[stage - 1]
-            images, poses = stage_dataset.device_arrays()
+            streaming = getattr(stage_dataset, "streaming", False)
+            if streaming:
+                images = None
+                poses = jnp.asarray(stage_dataset.poses)
+            else:
+                images, poses = stage_dataset.device_arrays()
             batch_iter = stage_dataset.iter_batches(image_batch_cache_size, rng)
 
             stage_lr = learning_rate * (stagewise_lr_decay_gamma ** (stage - 1))
@@ -427,7 +488,21 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 * stage_dataset.camera_intrinsics.height
                 * stage_dataset.camera_intrinsics.width,
             )
-            if steps_per_call > 1:
+            if streaming:
+                if steps_per_call > 1:
+                    log.warning(
+                        "streaming dataset: scan step-fusion needs the scene "
+                        "on-device; falling back to steps_per_call=1"
+                    )
+                    steps_per_call = 1
+                train_step = make_recon_train_step_streaming(
+                    stage_dataset.camera_intrinsics,
+                    stage_render_config,
+                    optimizer,
+                    apply_diffuse_render_regularization,
+                    mesh=stage_mesh,
+                )
+            elif steps_per_call > 1:
                 multi_step = make_recon_train_multi_step(
                     stage_dataset.camera_intrinsics,
                     stage_render_config,
@@ -470,7 +545,25 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 start_iteration, num_iterations_per_stage + 1, steps_per_call
             ):
                 key, step_key = jax.random.split(key)
-                if steps_per_call > 1:
+                if streaming:
+                    # host-side sampling from the memmap; device sees only the
+                    # tiny pose block + the [R, 3] pixel batch
+                    batch_indices = np.asarray(next(batch_iter))
+                    intr = stage_dataset.camera_intrinsics
+                    frame_pixels = intr.height * intr.width
+                    flat_idx = rng.integers(
+                        0, len(batch_indices) * frame_pixels, stage_ray_batch
+                    )
+                    pixels = stage_dataset.sample_pixels(
+                        flat_idx % frame_pixels,
+                        batch_indices[flat_idx // frame_pixels],
+                    )
+                    grid, opt_state, metrics = train_step(
+                        grid, opt_state, poses[jnp.asarray(batch_indices)],
+                        jnp.asarray(flat_idx), jnp.asarray(pixels), step_key,
+                    )
+                    global_step += 1
+                elif steps_per_call > 1:
                     grid, opt_state, metrics = multi_step(
                         grid, opt_state, images, poses, step_key
                     )
