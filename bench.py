@@ -15,6 +15,7 @@ a measured reference number exists.
 """
 import json
 import logging
+import os
 import sys
 import time
 
@@ -70,6 +71,8 @@ def main() -> None:
         num_samples_per_ray=num_samples,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
+        # VOXE_FUSED_KERNEL=1 measures the Pallas compositing kernel path
+        use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "0") == "1",
     )
     optimizer = optax.adam(0.03)
     opt_state = optimizer.init(grid)

@@ -124,6 +124,9 @@ from voxe_tpu.utils.misc import (
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices "
               "(1-D jax.sharding.Mesh; grads all-reduce over ICI)", show_default=True)
+@click.option("--use_fused_kernel", type=click.BOOL, required=False, default=False,
+              help="route ray compositing through the fused Pallas TPU kernel",
+              show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -210,6 +213,7 @@ def main(**kwargs) -> None:
             parallel_rays_chunk_size=config.parallel_rays_chunk_size,
             optimized_sampling=config.optimized_sampling,
             linear_disparity_sampling=config.linear_disparity_sampling,
+            use_fused_kernel=config.use_fused_kernel,
         ),
     )
 
