@@ -145,11 +145,59 @@ def main() -> None:
         run_step(step, "full")
 
     if "render_only" in which:
+        # NOTE: with do_sds=False the colours are unused -> XLA DCEs the whole
+        # render; this measures DCL/TV/Adam only (kept as that control)
         step = make_sds_train_step(
             sd, render_config, optimizer, (im, im), do_sds=False,
             density_correlation_weight=200.0, tv_density_weight=0.1,
         )
         run_step(step, "render_only")
+
+    if "render_grad" in which:
+        # render fwd+bwd actually exercised: photometric (uncoupled) loss on
+        # the colours, no SD
+        step = make_sds_train_step(
+            sd, render_config, optimizer, (im, im), do_sds=False,
+            uncoupled_mode=True, uncoupled_l2_mode=True,
+            density_correlation_weight=1.0, tv_density_weight=0.1,
+        )
+        run_step(step, "render_grad")
+
+    if "sds_only" in which:
+        # value_and_grad of the SDS loss w.r.t. the rendered image — the SD
+        # half of the step in isolation (render/optimizer excluded)
+        @jax.jit
+        def sds_only(params, img, k, tt):
+            def loss_fn(im):
+                return sd.sds_loss(params, text_embeddings, im, k, tt, 100.0)
+
+            return jax.value_and_grad(loss_fn)(img)
+
+        img0 = jnp.full((1, im, im, 3), 0.5)
+        t0 = time.perf_counter()
+        jax.block_until_ready(sds_only(sd.params, img0, step_key, t))
+        print(f"  sds_only compile: {time.perf_counter() - t0:.1f}s")
+        results["sds_only"] = timed(
+            "sds_only", lambda: sds_only(sd.params, img0, step_key, t), args.iters
+        )
+
+    if "vae_grad" in which:
+        # fwd+bwd through the VAE encoder alone
+        @jax.jit
+        def vae_grad(params, img, k):
+            def loss_fn(im):
+                return jnp.sum(sd.encode_imgs(params, im, key=k) ** 2)
+
+            return jax.value_and_grad(loss_fn)(img)
+
+        size = sd.config.image_size
+        imgv = jnp.full((1, size, size, 3), 0.5)
+        t0 = time.perf_counter()
+        jax.block_until_ready(vae_grad(sd.params["vae"], imgv, step_key))
+        print(f"  vae_grad compile: {time.perf_counter() - t0:.1f}s")
+        results["vae_grad"] = timed(
+            "vae_grad", lambda: vae_grad(sd.params["vae"], imgv, step_key), args.iters
+        )
 
     if "unet_pair" in which:
         latent = sd.config.latent_size

@@ -89,8 +89,16 @@ def make_sds_train_step(
     l2_mode: bool = False,
     l1_mode: bool = False,
     mesh=None,
+    remat_render: bool = True,
 ) -> Callable:
     """Build the fully-jitted edit step.
+
+    `remat_render` (default on) wraps the volumetric render in
+    `jax.checkpoint`: the full-frame render's per-sample activations
+    (~[R x S x C] — gigabytes at 400^2 x 256) are recomputed during the
+    backward instead of living across the VAE/UNet half of the graph. The
+    render forward costs ~1 ms; holding its activations puts the step into
+    HBM-pressure pathology (measured 3 orders of magnitude slowdown).
 
     signature: step(grid, opt_state, sd_params, text_embeddings [2,77,D],
                     rays (flat, one or more frames), pixels (or zeros),
@@ -111,8 +119,14 @@ def make_sds_train_step(
             rays = Rays(shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions))
 
         def loss_fn(g):
-            out = render_sh_voxel_grid(g, rays, render_config, key=k_render)
-            colours = out.colour  # [R, 3]
+            def render_colours(g_):
+                return render_sh_voxel_grid(
+                    g_, rays, render_config, key=k_render
+                ).colour
+
+            if remat_render:
+                render_colours = jax.checkpoint(render_colours)
+            colours = render_colours(g)  # [R, 3]
             total = jnp.zeros(())
             metrics = {}
 
@@ -223,11 +237,17 @@ def make_sds_train_multi_step(
         t = jax.random.randint(k_t, (), t_lo, t_hi + 1)
 
         def loss_fn(g):
-            out = render_sh_voxel_grid(g, rays, render_config, key=k_render)
+            # remat: don't hold the render's per-sample activations across
+            # the SDS half (see make_sds_train_step's remat_render note)
+            colours = jax.checkpoint(
+                lambda g_: render_sh_voxel_grid(
+                    g_, rays, render_config, key=k_render
+                ).colour
+            )(g)
             total = jnp.zeros(())
             metrics = {}
             if do_sds:
-                imgs = out.colour.reshape(1, im_h, im_w, 3)
+                imgs = colours.reshape(1, im_h, im_w, 3)
                 total = total + sd.sds_loss(
                     sd_params, text_embeddings, imgs, k_sds, t, guidance_scale
                 )
