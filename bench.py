@@ -88,15 +88,20 @@ def main() -> None:
     )
     batch_idx = jnp.arange(num_images)
 
-    # warmup / compile
-    g, s, m = step(grid, opt_state, images, poses, batch_idx, jax.random.PRNGKey(1))
-    jax.block_until_ready(g.densities)
+    import numpy as np
 
-    iters = 300
+    # warmup / compile. NOTE: on relayed TPU transports block_until_ready can
+    # return before device execution finishes (verified with profiler traces,
+    # BENCHMARKS.md "measurement truth"); a device->host fetch of the result
+    # is the only hard barrier, so all timing here drains through one.
+    g, s, m = step(grid, opt_state, images, poses, batch_idx, jax.random.PRNGKey(1))
+    _ = np.asarray(g.densities.ravel()[:1])
+
+    iters = int(os.environ.get("VOXE_BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
         g, s, m = step(g, s, images, poses, batch_idx, jax.random.PRNGKey(i))
-    jax.block_until_ready(g.densities)
+    _ = np.asarray(g.densities.ravel()[:1])  # hard barrier
     elapsed = time.perf_counter() - t0
 
     rays_per_sec = ray_batch * iters / elapsed

@@ -30,16 +30,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def timed(label: str, fn, iters: int, *, warmup: int = 2) -> float:
+    """fn(carry_scalar) -> new carry scalar. Iterations are DEPENDENCY-CHAINED
+    through the scalar so the transport cannot overlap/elide dispatches."""
     import jax
+    import jax.numpy as jnp
 
-    out = None
+    carry = jnp.zeros(())
     for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
+        carry = fn(carry)
+    jax.block_until_ready(carry)
+    carry = carry * 0.0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        carry = fn(carry)
+    jax.block_until_ready(carry)
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label:>12}: {dt * 1e3:9.2f} ms/iter  ({iters} chained iters)")
     return dt
@@ -56,6 +60,7 @@ def main() -> None:
     p.add_argument(
         "--only", type=str, default="", help="comma list: full,render_only,unet_pair,vae_encode"
     )
+    p.add_argument("--no_remat", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -125,7 +130,7 @@ def main() -> None:
     def run_step(step, label):
         state = {"g": grid, "o": opt_state}
 
-        def once():
+        def once(carry=None):
             state["g"], state["o"], m = step(
                 state["g"], state["o"], sd.params, text_embeddings, rays, pixels,
                 ref_d, ref_f, step_key, t,
@@ -141,6 +146,7 @@ def main() -> None:
         step = make_sds_train_step(
             sd, render_config, optimizer, (im, im),
             density_correlation_weight=200.0, tv_density_weight=0.1,
+            remat_render=not args.no_remat,
         )
         run_step(step, "full")
 
@@ -160,8 +166,43 @@ def main() -> None:
             sd, render_config, optimizer, (im, im), do_sds=False,
             uncoupled_mode=True, uncoupled_l2_mode=True,
             density_correlation_weight=1.0, tv_density_weight=0.1,
+            remat_render=not args.no_remat,
         )
         run_step(step, "render_grad")
+
+    if "render_vae" in which:
+        # render -> resize -> VAE encode -> sum(latents^2), grad wrt grid:
+        # the full cross-component chain MINUS the UNet
+        from voxe_tpu.render.interface import render_sh_voxel_grid
+        from voxe_tpu.render.rays import Rays
+
+        size = sd.config.image_size
+
+        @jax.jit
+        def render_vae(g, params, k, rays_o, rays_d):
+            def loss_fn(g_):
+                colours = render_sh_voxel_grid(
+                    g_, Rays(rays_o, rays_d), render_config, key=k
+                ).colour
+                img = colours.reshape(1, im, im, 3)
+                img512 = jax.image.resize(img, (1, size, size, 3), method="bilinear")
+                latents = sd.encode_imgs(params["vae"], img512, key=k)
+                return jnp.sum(latents ** 2)
+
+            return jax.value_and_grad(loss_fn)(g)
+
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            render_vae(grid, sd.params, step_key, rays.origins, rays.directions)[0]
+        )
+        print(f"  render_vae compile: {time.perf_counter() - t0:.1f}s")
+        results["render_vae"] = timed(
+            "render_vae",
+            lambda c: render_vae(
+                grid, sd.params, step_key, rays.origins + c, rays.directions
+            )[0],
+            args.iters,
+        )
 
     if "sds_only" in which:
         # value_and_grad of the SDS loss w.r.t. the rendered image — the SD
@@ -178,7 +219,8 @@ def main() -> None:
         jax.block_until_ready(sds_only(sd.params, img0, step_key, t))
         print(f"  sds_only compile: {time.perf_counter() - t0:.1f}s")
         results["sds_only"] = timed(
-            "sds_only", lambda: sds_only(sd.params, img0, step_key, t), args.iters
+            "sds_only",
+            lambda c: sds_only(sd.params, img0 + c, step_key, t)[0], args.iters,
         )
 
     if "vae_grad" in which:
@@ -196,7 +238,8 @@ def main() -> None:
         jax.block_until_ready(vae_grad(sd.params["vae"], imgv, step_key))
         print(f"  vae_grad compile: {time.perf_counter() - t0:.1f}s")
         results["vae_grad"] = timed(
-            "vae_grad", lambda: vae_grad(sd.params["vae"], imgv, step_key), args.iters
+            "vae_grad",
+            lambda c: vae_grad(sd.params["vae"], imgv + c, step_key)[0], args.iters
         )
 
     if "unet_pair" in which:
@@ -214,7 +257,9 @@ def main() -> None:
         print(f"  unet_pair compile: {time.perf_counter() - t0:.1f}s")
         results["unet_pair"] = timed(
             "unet_pair",
-            lambda: unet_pair(sd.params["unet"], lat2, t, text_embeddings),
+            lambda c: jnp.sum(
+                unet_pair(sd.params["unet"], lat2 + c, t, text_embeddings)
+            ) * 1e-20,
             args.iters,
         )
 
@@ -230,7 +275,9 @@ def main() -> None:
         jax.block_until_ready(vae_enc(sd.params["vae"], img, step_key))
         print(f"  vae_encode compile: {time.perf_counter() - t0:.1f}s")
         results["vae_encode"] = timed(
-            "vae_encode", lambda: vae_enc(sd.params["vae"], img, step_key), args.iters
+            "vae_encode",
+            lambda c: jnp.sum(vae_enc(sd.params["vae"], img + c, step_key)) * 1e-20,
+            args.iters,
         )
 
     if args.profile:

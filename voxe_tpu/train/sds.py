@@ -89,16 +89,21 @@ def make_sds_train_step(
     l2_mode: bool = False,
     l1_mode: bool = False,
     mesh=None,
-    remat_render: bool = True,
+    remat_render: bool = False,
+    remat_sds: bool = True,
 ) -> Callable:
     """Build the fully-jitted edit step.
 
-    `remat_render` (default on) wraps the volumetric render in
-    `jax.checkpoint`: the full-frame render's per-sample activations
-    (~[R x S x C] — gigabytes at 400^2 x 256) are recomputed during the
-    backward instead of living across the VAE/UNet half of the graph. The
-    render forward costs ~1 ms; holding its activations puts the step into
-    HBM-pressure pathology (measured 3 orders of magnitude slowdown).
+    Memory/pathology notes (measured on v5e, tools/bench_edit_step.py):
+    the render fwd+bwd alone is ~1.4 ms and the SDS half ~87 ms at dog2
+    shapes, but the composed graph hit 22 s/iter — XLA's auto-remat under
+    HBM pressure re-lowers the render's grid gathers pathologically (the
+    same closed-subcomputation gather pathology as lax.scan step fusion,
+    BENCHMARKS.md). `remat_sds` (default on) instead checkpoints the SDS
+    half, whose convs remat cleanly, keeping peak memory low enough that the
+    render's gathers never get rematted. `remat_render` (jax.checkpoint on
+    the render) is kept for experiments but measured 1000x SLOWER — leave
+    it off.
 
     signature: step(grid, opt_state, sd_params, text_embeddings [2,77,D],
                     rays (flat, one or more frames), pixels (or zeros),
@@ -132,10 +137,15 @@ def make_sds_train_step(
 
             if do_sds:
                 imgs = colours.reshape(-1, im_h, im_w, 3)
-                sds_value = sd.sds_loss(
-                    sd_params, text_embeddings, imgs, k_sds, t, guidance_scale
-                )
-                total = total + sds_value
+
+                def sds_fn(imgs_):
+                    return sd.sds_loss(
+                        sd_params, text_embeddings, imgs_, k_sds, t, guidance_scale
+                    )
+
+                if remat_sds:
+                    sds_fn = jax.checkpoint(sds_fn)
+                total = total + sds_fn(imgs)
 
             if uncoupled_mode:
                 photometric = (
