@@ -46,6 +46,7 @@ def accumulate_radiance_density_on_rays(
     background_value: float = 1.0,
     extra_debug_info: bool = False,
     key: Optional[jax.Array] = None,
+    final_delta: str = "inf",
 ) -> RenderOut:
     """Composite per-sample (radiance, density) into per-ray colour/depth.
 
@@ -57,8 +58,12 @@ def accumulate_radiance_density_on_rays(
     raw_density = processed_points[..., -1]
 
     deltas = depths[..., 1:] - depths[..., :-1]
-    inf_delta = jnp.full((*deltas.shape[:-1], 1), INFINITY, dtype=deltas.dtype)
-    deltas = jnp.concatenate([deltas, inf_delta], axis=-1)  # [N, S]
+    if final_delta == "slab":
+        # bounded last interval (shear-warp: the volume ends at its far face)
+        last = deltas[..., -1:]
+    else:  # "inf": reference semantics — the last sample absorbs the rest
+        last = jnp.full((*deltas.shape[:-1], 1), INFINITY, dtype=deltas.dtype)
+    deltas = jnp.concatenate([deltas, last], axis=-1)  # [N, S]
     dir_norms = jnp.linalg.norm(rays.directions.reshape(-1, 3), axis=-1)
     deltas = deltas * dir_norms[..., None]
 

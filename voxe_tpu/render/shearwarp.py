@@ -1,0 +1,370 @@
+"""Shear-warp volumetric renderer — the TPU-native fast path.
+
+The reference's per-sample formulation (gather 8 voxel corners per ray sample,
+scatter-add gradients back; thre3d_atom/thre3d_reprs/voxels.py:306-342) is the
+right design for CUDA atomics but catastrophically wrong for TPU: XLA's TPU
+scatter runs at ~12M updates/s, making the render backward 8 x 0.5-2.5 s per
+step (BENCHMARKS.md "measurement truth"). This module re-derives the renderer
+as a Lacroute-Levoy perspective shear-warp factorization instead:
+
+* The volume is marched slice-by-slice along its principal axis. For parallel
+  slice planes, all slice->base-plane homographies are pure axis-aligned
+  scales about the epipole, so each slice resample is SEPARABLE: two small
+  banded interpolation matrices contracted on the MXU (einsum), built densely
+  from the traced camera geometry.
+* Per-(base-pixel, slice) radiance/density then feeds the SAME compositing
+  code as the exact renderer (accumulate.py), preserving tone mapping, white
+  background, and the Beer-Lambert weights.
+* The backward is transposed matmuls + elementwise math: NO gather or scatter
+  anywhere in the training step.
+
+The rendered image lives on the BASE PLANE (the volume slice nearest the
+eye): a genuine pinhole image from the same center of projection, related to
+any conventional screen image by one 2D homography (`screen_to_base`). The
+training paths consume base-plane images directly (SDS feeds them to SD;
+recon warps the TARGET instead — data, no gradient); exact screen-space
+renders remain the job of the reference-parity renderer.
+
+Quadrature difference vs the exact renderer: samples lie ON the grid's voxel-
+center planes (R slices) instead of uniformly in t, and the final sample uses
+the slice spacing rather than an infinite far delta. Both discretize the same
+continuous field; parity is established statistically in
+tests/test_shearwarp.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxe_tpu.grid.voxels import ACTIVATIONS, VoxelGrid
+from voxe_tpu.render.accumulate import accumulate_radiance_density_on_rays
+from voxe_tpu.render.interface import RenderOut
+from voxe_tpu.render.rays import Rays
+from voxe_tpu.render.sh import evaluate_spherical_harmonics
+from voxe_tpu.utils.camera import CameraIntrinsics, CameraPose
+from voxe_tpu.utils.constants import INFINITY, NUM_COLOUR_CHANNELS
+
+# the 6 (axis, direction) marching permutations: each maps world axes
+# (0, 1, 2) -> (a, b, k) with k the marching axis; flips make marching go
+# toward +k with the eye below slice 0
+_PERMS = ((1, 2, 0), (2, 0, 1), (0, 1, 2))
+
+
+class BaseImageGeometry(NamedTuple):
+    """Traced geometry of the base-plane image (all world-space)."""
+
+    eye: jnp.ndarray  # [3] camera center
+    dirs: jnp.ndarray  # [U*V, 3] unit ray dir per base pixel
+    t_slices: jnp.ndarray  # [U*V, S] ray depth of every slice crossing
+    lo: jnp.ndarray  # [2] base window lower corner (grid coords, a/b)
+    hi: jnp.ndarray  # [2]
+    perm_index: jnp.ndarray  # [] int32: which of the 6 marching branches ran
+
+
+def _principal_branch(view_dir: jnp.ndarray) -> jnp.ndarray:
+    """view_dir [3] (world) -> branch index in [0, 6): axis * 2 + (dir > 0)."""
+    axis = jnp.argmax(jnp.abs(view_dir))
+    positive = (view_dir[axis] > 0.0).astype(jnp.int32)
+    return axis.astype(jnp.int32) * 2 + positive
+
+
+def _interp_matrices(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """src [S, U] continuous grid coords -> [S, U, size] hat-function weights
+    (linear interpolation with zero padding outside [0, size-1])."""
+    p = jnp.arange(size, dtype=src.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - p))
+
+
+def _render_canonical(
+    vol: jnp.ndarray,  # [S, A, B, C+1] pre-activated (features..., density)
+    eye_g: jnp.ndarray,  # [3] eye in (a, b, k) grid coords; eye_k < 0
+    voxel_sizes_g: jnp.ndarray,  # [3] world units per voxel along (a, b, k)
+    aabb_lo_g: jnp.ndarray,  # [3] world coords of voxel center (0, 0, 0)
+    base_hw: Tuple[int, int],
+    config,
+    grid_config,
+    key,
+):
+    """Core shear-warp in canonical orientation. Returns (RenderOut over
+    [U*V] base pixels, geometry pieces in canonical coords)."""
+    S, A, B, _ = vol.shape
+    U, V = base_hw
+    f = jnp.float32
+
+    e_a, e_b, e_k = eye_g[0], eye_g[1], eye_g[2]
+    # guard: keep the eye strictly below slice 0 (cameras orbit outside the
+    # volume in every supported config; clamp only protects the math)
+    e_k = jnp.minimum(e_k, -0.5)
+
+    # τ_j: expansion of base coords onto slice j (τ_0 = 1)
+    j = jnp.arange(S, dtype=f)
+    tau = (j - e_k) / (0.0 - e_k)  # [S] >= 1
+
+    # base window: cover slice 0 and the far-slice footprint projected onto
+    # the base plane (projection toward the eye shrinks by 1/τ about e_ab)
+    a_corners = jnp.array([0.0, A - 1.0], f)
+    b_corners = jnp.array([0.0, B - 1.0], f)
+    far = tau[-1]
+    a_proj = e_a + (a_corners - e_a) / far
+    b_proj = e_b + (b_corners - e_b) / far
+    lo = jnp.stack(
+        [jnp.minimum(a_corners.min(), a_proj.min()),
+         jnp.minimum(b_corners.min(), b_proj.min())]
+    )
+    hi = jnp.stack(
+        [jnp.maximum(a_corners.max(), a_proj.max()),
+         jnp.maximum(b_corners.max(), b_proj.max())]
+    )
+
+    # base pixel centers (grid coords on the base plane)
+    alpha = lo[0] + (jnp.arange(U, dtype=f) + 0.5) * (hi[0] - lo[0]) / U  # [U]
+    beta = lo[1] + (jnp.arange(V, dtype=f) + 0.5) * (hi[1] - lo[1]) / V  # [V]
+
+    # per-slice source coords + separable interpolation matrices
+    src_a = e_a + (alpha[None, :] - e_a) * tau[:, None]  # [S, U]
+    src_b = e_b + (beta[None, :] - e_b) * tau[:, None]  # [S, V]
+    Wa = _interp_matrices(src_a, A)  # [S, U, A]
+    Wb = _interp_matrices(src_b, B)  # [S, V, B]
+
+    # resample every slice onto the base pixel lattice: two MXU contractions
+    tmp = jnp.einsum("sua,sabc->subc", Wa, vol)  # [S, U, B, C+1]
+    resampled = jnp.einsum("svb,subc->uvsc", Wb, tmp)  # [U, V, S, C+1]
+    C1 = resampled.shape[-1]
+    resampled = resampled.reshape(U * V, S, C1).astype(jnp.float32)
+
+    # world-space rays through base pixels (canonical a/b/k components)
+    w_a, w_b, w_k = voxel_sizes_g[0], voxel_sizes_g[1], voxel_sizes_g[2]
+    pa = aabb_lo_g[0] + alpha * w_a  # [U] world a-coord on base plane
+    pb = aabb_lo_g[1] + beta * w_b
+    eye_w = jnp.stack(
+        [aabb_lo_g[0] + e_a * w_a, aabb_lo_g[1] + e_b * w_b,
+         aabb_lo_g[2] + e_k * w_k]
+    )
+    va = (pa[:, None] - eye_w[0]) * jnp.ones((1, V))  # [U, V]
+    vb = (pb[None, :] - eye_w[1]) * jnp.ones((U, 1))
+    vk = jnp.full((U, V), aabb_lo_g[2] - eye_w[2])
+    v = jnp.stack([va, vb, vk], axis=-1).reshape(U * V, 3)  # base-plane offset
+    v_norm = jnp.linalg.norm(v, axis=-1)
+    dirs = v / v_norm[:, None]
+
+    # depth of each slice crossing: t_j = |v| * τ_j
+    t_slices = v_norm[:, None] * tau[None, :]  # [U*V, S]
+
+    # activations AFTER interpolation (grid_query parity, voxels.py:194-218)
+    cfg = grid_config
+    f_post = ACTIVATIONS[cfg.feature_postactivation]
+    d_post = ACTIVATIONS[cfg.density_postactivation]
+    feats = f_post(resampled[..., :-1])
+    dens = d_post(resampled[..., -1:])
+
+    # outside-AABB masking (process.py:78-85 parity): without it the
+    # zero-padded PRE-activation density turns into softplus(0) fog
+    in_a = (src_a >= -0.5) & (src_a <= A - 0.5)  # [S, U]
+    in_b = (src_b >= -0.5) & (src_b <= B - 0.5)  # [S, V]
+    inside = in_a[:, :, None] & in_b[:, None, :]  # [S, U, V]
+    inside = jnp.transpose(inside, (1, 2, 0)).reshape(U * V, S, 1)
+    dens = jnp.where(inside, dens, 0.0)
+
+    sh_coeffs = feats.reshape(U * V, S, NUM_COLOUR_CHANNELS, -1)
+    sh_degree = int(math.isqrt(sh_coeffs.shape[-1])) - 1
+    raw_radiance = evaluate_spherical_harmonics(
+        degree=sh_degree,
+        sh_coeffs=sh_coeffs,
+        viewdirs=jnp.repeat(dirs[:, None, :], S, axis=1),
+    )
+    raw_radiance = jnp.where(inside, raw_radiance, -INFINITY)
+    processed = jnp.concatenate([raw_radiance, dens], axis=-1)  # [N, S, C+1]
+
+    out = accumulate_radiance_density_on_rays(
+        processed,
+        t_slices,
+        Rays(origins=jnp.broadcast_to(eye_w, (U * V, 3)), directions=dirs),
+        stochastic_density_noise_std=0.0,
+        white_bkgd=config.white_bkgd,
+        background_value=1.0,
+        key=key,
+        # the final slice uses the real slab spacing, not the exact
+        # renderer's infinite far delta — the volume ends at the far face
+        final_delta="slab",
+    )
+    return out, (eye_w, dirs, t_slices, lo, hi)
+
+
+def render_shear_warp(
+    voxel_grid: VoxelGrid,
+    pose: CameraPose,
+    config,
+    base_hw: Tuple[int, int] = (256, 256),
+    key=None,
+) -> Tuple[RenderOut, BaseImageGeometry]:
+    """Render the base-plane image of `voxel_grid` seen from `pose`.
+
+    Returns (RenderOut with [U*V, ...] leaves, BaseImageGeometry). Gradients
+    flow to the grid through matmuls only — no gather/scatter.
+    """
+    cfg = voxel_grid.config
+    d_pre = ACTIVATIONS[cfg.density_preactivation]
+    f_pre = ACTIVATIONS[cfg.feature_preactivation]
+    pre_density = d_pre(voxel_grid.densities * cfg.expected_density_scale)
+    pre_features = f_pre(voxel_grid.features)
+    unified = jnp.concatenate([pre_features, pre_density], axis=-1)
+    if cfg.gather_dtype == "bfloat16":
+        unified = unified.astype(jnp.bfloat16)
+
+    dims = jnp.array(voxel_grid.grid_dims, jnp.float32)
+    vsizes = jnp.array(list(voxel_grid.config.voxel_size), jnp.float32)
+    # world coords of voxel center (0,0,0): grid centered at grid_location
+    loc = jnp.array(list(cfg.grid_location), jnp.float32)
+    aabb_lo = loc - (dims - 1.0) / 2.0 * vsizes
+
+    eye_w = jnp.asarray(pose.translation, jnp.float32).reshape(3)
+    # central view direction: camera -z in world coords
+    rot = jnp.asarray(pose.rotation, jnp.float32)
+    view_dir = -rot[:, 2]
+    branch = _principal_branch(view_dir)
+
+    def make_branch(axis: int, positive: bool):
+        a_ax, b_ax, k_ax = _PERMS[axis]
+
+        def run(operands):
+            unified_, eye_w_, key_ = operands
+            volp = jnp.transpose(unified_, (k_ax, a_ax, b_ax, 3))
+            vs = jnp.stack([vsizes[a_ax], vsizes[b_ax], vsizes[k_ax]])
+            lo3 = jnp.stack([aabb_lo[a_ax], aabb_lo[b_ax], aabb_lo[k_ax]])
+            dimp = jnp.stack([dims[a_ax], dims[b_ax], dims[k_ax]])
+            if not positive:  # march toward -k: flip the k axis
+                volp = volp[::-1]
+                lo3 = lo3.at[2].set(lo3[2] + (dimp[2] - 1.0) * vs[2])
+                vs = vs.at[2].set(-vs[2])
+            eye_g = (jnp.stack([eye_w_[a_ax], eye_w_[b_ax], eye_w_[k_ax]]) - lo3) / vs
+            out, (eye_o, dirs_c, t_slices, lo2, hi2) = _render_canonical(
+                volp, eye_g, vs, lo3, base_hw, config, cfg, key_
+            )
+            # un-permute ray directions back to world axis order (static
+            # slices — integer-array indexing would lower to gather/scatter)
+            inv = [0, 0, 0]
+            for i, ax in enumerate((a_ax, b_ax, k_ax)):
+                inv[ax] = i
+            dirs_w = jnp.stack(
+                [dirs_c[:, inv[0]], dirs_c[:, inv[1]], dirs_c[:, inv[2]]],
+                axis=1,
+            )
+            return out, dirs_w, t_slices, lo2, hi2
+
+        return run
+
+    branches = [
+        make_branch(axis, positive)
+        for axis in range(3)
+        for positive in (False, True)
+    ]
+    out, dirs_w, t_slices, lo2, hi2 = jax.lax.switch(
+        branch, branches, (unified, eye_w, key)
+    )
+    geom = BaseImageGeometry(
+        eye=eye_w, dirs=dirs_w, t_slices=t_slices, lo=lo2, hi=hi2,
+        perm_index=branch,
+    )
+    return out, geom
+
+
+def screen_to_base(
+    pose: CameraPose,
+    intrinsics: CameraIntrinsics,
+    geom: BaseImageGeometry,
+    voxel_grid: VoxelGrid,
+    base_hw: Tuple[int, int],
+):
+    """[H, W, 2] fractional base-pixel coords of every screen pixel.
+
+    Used to pull TARGET images (data, no gradient) into base-plane space so
+    photometric losses can be computed against shear-warp renders, and to
+    compare shear-warp output against the exact screen-space renderer.
+    """
+    from voxe_tpu.render.rays import cast_rays
+
+    cfg = voxel_grid.config
+    dims = np.array(voxel_grid.grid_dims, np.float32)
+    vsizes = np.array(list(cfg.voxel_size), np.float32)
+    loc = np.array(list(cfg.grid_location), np.float32)
+    aabb_lo = loc - (dims - 1.0) / 2.0 * vsizes
+
+    rays = cast_rays(
+        intrinsics,
+        jnp.asarray(pose.rotation),
+        jnp.asarray(pose.translation),
+    )
+    d = rays.directions.reshape(-1, 3)
+    o = rays.origins.reshape(-1, 3)
+
+    U, V = base_hw
+    axis = geom.perm_index // 2
+    positive = geom.perm_index % 2
+    perms = jnp.array(_PERMS)  # [3][a, b, k]
+    a_ax, b_ax, k_ax = perms[axis][0], perms[axis][1], perms[axis][2]
+
+    vs = jnp.array(vsizes)[jnp.stack([a_ax, b_ax, k_ax])]
+    lo3 = jnp.array(aabb_lo)[jnp.stack([a_ax, b_ax, k_ax])]
+    dimp = jnp.array(dims)[jnp.stack([a_ax, b_ax, k_ax])]
+    neg = (positive == 0)
+    lo3 = jnp.where(
+        neg, lo3.at[2].set(lo3[2] + (dimp[2] - 1.0) * vs[2]), lo3
+    )
+    vs = jnp.where(neg, vs.at[2].set(-vs[2]), vs)
+
+    sel = jnp.stack([a_ax, b_ax, k_ax])
+    d_g = d[:, sel] / vs  # direction in grid coords
+    o_g = (o[:, sel] - lo3) / vs
+    # intersect base plane k = 0 (grid coords)
+    t = (0.0 - o_g[:, 2]) / d_g[:, 2]
+    a0 = o_g[:, 0] + t * d_g[:, 0]
+    b0 = o_g[:, 1] + t * d_g[:, 1]
+    # continuous base-pixel index
+    ui = (a0 - geom.lo[0]) / (geom.hi[0] - geom.lo[0]) * U - 0.5
+    vi = (b0 - geom.lo[1]) / (geom.hi[1] - geom.lo[1]) * V - 0.5
+    behind = t <= 0.0  # plane behind the camera: mark invalid
+    ui = jnp.where(behind, -10.0, ui)
+    vi = jnp.where(behind, -10.0, vi)
+    return jnp.stack([ui, vi], axis=-1).reshape(
+        intrinsics.height, intrinsics.width, 2
+    )
+
+
+def warp_image_to_base(
+    image: jnp.ndarray,  # [H, W, C] screen-space image (data)
+    coords: jnp.ndarray,  # [H, W, 2] from screen_to_base
+    base_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Splat a screen image onto the base lattice with bilinear weights.
+
+    Returns (base image [U, V, C], weight mask [U, V]). Pure data preparation
+    (stop-gradient); the scatter here runs on the TARGET side only, outside
+    the training step's gradient path, and only when a new frame is drawn.
+    """
+    U, V = base_hw
+    H, W, C = image.shape
+    ui = coords[..., 0].reshape(-1)
+    vi = coords[..., 1].reshape(-1)
+    px = image.reshape(-1, C)
+
+    u0 = jnp.floor(ui).astype(jnp.int32)
+    v0 = jnp.floor(vi).astype(jnp.int32)
+    acc = jnp.zeros((U * V, C))
+    wacc = jnp.zeros((U * V,))
+    for du in (0, 1):
+        for dv in (0, 1):
+            uu, vv = u0 + du, v0 + dv
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(ui - uu)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(vi - vv)
+            )
+            valid = (uu >= 0) & (uu < U) & (vv >= 0) & (vv < V)
+            w = jnp.where(valid, w, 0.0)
+            flat = jnp.clip(uu, 0, U - 1) * V + jnp.clip(vv, 0, V - 1)
+            acc = acc.at[flat].add(w[:, None] * px)
+            wacc = wacc.at[flat].add(w)
+    base = acc / jnp.maximum(wacc, 1e-8)[:, None]
+    return base.reshape(U, V, C), (wacc > 1e-6).reshape(U, V).astype(jnp.float32)
