@@ -52,6 +52,14 @@ def shard_rays(mesh: Mesh, value, axis_name: str = RAY_AXIS):
     return jax.lax.with_sharding_constraint(value, NamedSharding(mesh, spec))
 
 
+def shard_axis(mesh: Mesh, value, axis: int, axis_name: str = RAY_AXIS):
+    """Constrain an arbitrary axis of `value` to be sharded over the mesh
+    (shear-warp renderer: DP over base-image rows instead of flat rays)."""
+    spec = [None] * value.ndim
+    spec[axis] = axis_name
+    return jax.lax.with_sharding_constraint(value, NamedSharding(mesh, P(*spec)))
+
+
 def replicate(mesh: Mesh, tree):
     """Constrain a pytree to be fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())

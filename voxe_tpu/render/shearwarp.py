@@ -88,6 +88,8 @@ def _render_canonical(
     config,
     grid_config,
     key,
+    with_diffuse: bool = False,
+    mesh=None,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces in canonical coords)."""
@@ -132,7 +134,15 @@ def _render_canonical(
 
     # resample every slice onto the base pixel lattice: two MXU contractions
     tmp = jnp.einsum("sua,sabc->subc", Wa, vol)  # [S, U, B, C+1]
+    if mesh is not None:
+        from voxe_tpu.parallel.mesh import shard_axis
+
+        tmp = shard_axis(mesh, tmp, axis=1)  # DP over base rows (u)
     resampled = jnp.einsum("svb,subc->uvsc", Wb, tmp)  # [U, V, S, C+1]
+    if mesh is not None:
+        from voxe_tpu.parallel.mesh import shard_axis
+
+        resampled = shard_axis(mesh, resampled, axis=0)
     C1 = resampled.shape[-1]
     resampled = resampled.reshape(U * V, S, C1).astype(jnp.float32)
 
@@ -179,10 +189,11 @@ def _render_canonical(
     raw_radiance = jnp.where(inside, raw_radiance, -INFINITY)
     processed = jnp.concatenate([raw_radiance, dens], axis=-1)  # [N, S, C+1]
 
+    rays_c = Rays(origins=jnp.broadcast_to(eye_w, (U * V, 3)), directions=dirs)
     out = accumulate_radiance_density_on_rays(
         processed,
         t_slices,
-        Rays(origins=jnp.broadcast_to(eye_w, (U * V, 3)), directions=dirs),
+        rays_c,
         stochastic_density_noise_std=0.0,
         white_bkgd=config.white_bkgd,
         background_value=1.0,
@@ -191,6 +202,30 @@ def _render_canonical(
         # renderer's infinite far delta — the volume ends at the far face
         final_delta="slab",
     )
+    if with_diffuse:
+        # diffuse regularization render (reference process.py render_diffuse:
+        # SH degree 0 shading of the same field) from the SAME resample pass
+        diffuse_radiance = evaluate_spherical_harmonics(
+            degree=0,
+            sh_coeffs=sh_coeffs[..., :1],
+            viewdirs=jnp.repeat(dirs[:, None, :], S, axis=1),
+        )
+        diffuse_radiance = jnp.where(inside, diffuse_radiance, -INFINITY)
+        out_diff = accumulate_radiance_density_on_rays(
+            jnp.concatenate([diffuse_radiance, dens], axis=-1),
+            t_slices,
+            rays_c,
+            stochastic_density_noise_std=0.0,
+            white_bkgd=config.white_bkgd,
+            background_value=1.0,
+            key=key,
+            final_delta="slab",
+        )
+        out = RenderOut(
+            colour=out.colour,
+            depth=out.depth,
+            extra={**out.extra, "diffuse_colour": out_diff.colour},
+        )
     return out, (eye_w, dirs, t_slices, lo, hi)
 
 
@@ -200,6 +235,8 @@ def render_shear_warp(
     config,
     base_hw: Tuple[int, int] = (256, 256),
     key=None,
+    with_diffuse: bool = False,
+    mesh=None,
 ) -> Tuple[RenderOut, BaseImageGeometry]:
     """Render the base-plane image of `voxel_grid` seen from `pose`.
 
@@ -242,7 +279,8 @@ def render_shear_warp(
                 vs = vs.at[2].set(-vs[2])
             eye_g = (jnp.stack([eye_w_[a_ax], eye_w_[b_ax], eye_w_[k_ax]]) - lo3) / vs
             out, (eye_o, dirs_c, t_slices, lo2, hi2) = _render_canonical(
-                volp, eye_g, vs, lo3, base_hw, config, cfg, key_
+                volp, eye_g, vs, lo3, base_hw, config, cfg, key_,
+                with_diffuse=with_diffuse, mesh=mesh,
             )
             # un-permute ray directions back to world axis order (static
             # slices — integer-array indexing would lower to gather/scatter)
@@ -270,6 +308,66 @@ def render_shear_warp(
         perm_index=branch,
     )
     return out, geom
+
+
+def compute_base_geometry(
+    voxel_grid: VoxelGrid,
+    pose: CameraPose,
+    base_hw: Tuple[int, int],
+) -> BaseImageGeometry:
+    """Host-side (NumPy) base-window geometry for `pose` WITHOUT rendering.
+
+    Mirrors the branch selection and window math of `_render_canonical` /
+    `render_shear_warp` exactly (tested against the traced path in
+    tests/test_shearwarp.py) so target images can be warped to base-plane
+    space once per dataset, before training. `dirs`/`t_slices` are not
+    materialized (None) — `screen_to_base` needs only lo/hi/perm_index."""
+    cfg = voxel_grid.config
+    dims = np.array(voxel_grid.grid_dims, np.float64)
+    vsizes = np.array(list(cfg.voxel_size), np.float64)
+    loc = np.array(list(cfg.grid_location), np.float64)
+    aabb_lo = loc - (dims - 1.0) / 2.0 * vsizes
+
+    eye_w = np.asarray(pose.translation, np.float64).reshape(3)
+    rot = np.asarray(pose.rotation, np.float64)
+    view_dir = -rot[:, 2]
+    axis = int(np.argmax(np.abs(view_dir)))
+    positive = int(view_dir[axis] > 0.0)
+    branch = axis * 2 + positive
+    a_ax, b_ax, k_ax = _PERMS[axis]
+
+    vs = np.array([vsizes[a_ax], vsizes[b_ax], vsizes[k_ax]])
+    lo3 = np.array([aabb_lo[a_ax], aabb_lo[b_ax], aabb_lo[k_ax]])
+    dimp = np.array([dims[a_ax], dims[b_ax], dims[k_ax]])
+    if not positive:
+        lo3[2] += (dimp[2] - 1.0) * vs[2]
+        vs[2] = -vs[2]
+    eye_g = (np.array([eye_w[a_ax], eye_w[b_ax], eye_w[k_ax]]) - lo3) / vs
+
+    S, A, B = int(dimp[2]), int(dimp[0]), int(dimp[1])
+    e_a, e_b = eye_g[0], eye_g[1]
+    e_k = min(eye_g[2], -0.5)
+    far = (S - 1.0 - e_k) / (0.0 - e_k)
+    a_corners = np.array([0.0, A - 1.0])
+    b_corners = np.array([0.0, B - 1.0])
+    a_proj = e_a + (a_corners - e_a) / far
+    b_proj = e_b + (b_corners - e_b) / far
+    lo = np.array(
+        [min(a_corners.min(), a_proj.min()), min(b_corners.min(), b_proj.min())],
+        np.float32,
+    )
+    hi = np.array(
+        [max(a_corners.max(), a_proj.max()), max(b_corners.max(), b_proj.max())],
+        np.float32,
+    )
+    return BaseImageGeometry(
+        eye=jnp.asarray(eye_w, jnp.float32),
+        dirs=None,
+        t_slices=None,
+        lo=jnp.asarray(lo),
+        hi=jnp.asarray(hi),
+        perm_index=jnp.asarray(branch, jnp.int32),
+    )
 
 
 def screen_to_base(

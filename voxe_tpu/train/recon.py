@@ -34,6 +34,7 @@ from voxe_tpu.render.accumulate import accumulate_radiance_density_on_rays
 from voxe_tpu.render.interface import SHVoxGridRenderConfig, _sample
 from voxe_tpu.render.process import _shade_and_mask
 from voxe_tpu.render.rays import Rays
+from voxe_tpu.render.shearwarp import render_shear_warp
 from voxe_tpu.grid.voxels import grid_query
 from voxe_tpu.utils.camera import CameraIntrinsics, CameraPose
 from voxe_tpu.utils.constants import (
@@ -171,6 +172,112 @@ def make_recon_train_step(
         return new_grid, new_opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def warp_dataset_to_base(
+    images: jnp.ndarray,  # [N, H, W, 3]
+    poses: jnp.ndarray,  # [N, 3, 4]
+    intrinsics: CameraIntrinsics,
+    grid: VoxelGrid,
+    base_hw,
+):
+    """One-time host-side prep for shear-warp training: splat every TARGET
+    image onto its pose's base-plane lattice (data only — no gradient ever
+    flows here, so the scatter cost is paid once per stage, not per step).
+
+    Returns (targets [N, U, V, 3], masks [N, U, V])."""
+    from voxe_tpu.render.shearwarp import (
+        compute_base_geometry,
+        screen_to_base,
+        warp_image_to_base,
+    )
+
+    warp = jax.jit(warp_image_to_base, static_argnums=(2,))
+    targets, masks = [], []
+    for i in range(images.shape[0]):
+        pose = CameraPose(
+            rotation=np.asarray(poses[i][:, :3]),
+            translation=np.asarray(poses[i][:, 3:]),
+        )
+        geom = compute_base_geometry(grid, pose, base_hw)
+        coords = screen_to_base(pose, intrinsics, geom, grid, base_hw)
+        t, m = warp(jnp.asarray(images[i]), coords, tuple(base_hw))
+        targets.append(t)
+        masks.append(m)
+    return jnp.stack(targets), jnp.stack(masks)
+
+
+def make_recon_train_step_shearwarp(
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    base_hw,
+    apply_diffuse_render_regularization: bool = True,
+    mesh=None,
+) -> Callable:
+    """Jitted per-iteration update on the SHEAR-WARP fast path.
+
+    One full base-plane frame per step instead of a random ray subset: the
+    render is two banded-matmul contractions + compositing (MXU work), whose
+    backward is transposed matmuls — no gather/scatter anywhere (the exact
+    renderer's 8 corner scatter-adds run at ~12M updates/s on TPU and
+    dominate the step; BENCHMARKS.md "measurement truth"). The photometric
+    loss is computed in base-plane space against targets pre-warped by
+    `warp_dataset_to_base`, masked to the pixels the screen image covers.
+
+    signature: step(grid, opt_state, targets [N,U,V,3], masks [N,U,V],
+                    poses [N,3,4], image_idx (scalar), key)
+               -> (grid, opt_state, metrics)
+    """
+    base_hw = tuple(base_hw)
+
+    def step(grid, opt_state, targets, masks, poses, image_idx, key):
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate
+
+            grid = replicate(mesh, grid)
+        target = jax.lax.dynamic_index_in_dim(targets, image_idx, keepdims=False)
+        mask = jax.lax.dynamic_index_in_dim(masks, image_idx, keepdims=False)
+        pose_rt = jax.lax.dynamic_index_in_dim(poses, image_idx, keepdims=False)
+        pose = CameraPose(rotation=pose_rt[:, :3], translation=pose_rt[:, 3:])
+        m = mask[..., None]
+        denom = jnp.maximum(jnp.sum(mask) * NUM_COLOUR_CHANNELS, 1.0)
+
+        def loss_fn(g):
+            out, _ = render_shear_warp(
+                g,
+                pose,
+                render_config,
+                base_hw=base_hw,
+                key=key,
+                with_diffuse=apply_diffuse_render_regularization,
+                mesh=mesh,
+            )
+            img = out.colour.reshape(*base_hw, NUM_COLOUR_CHANNELS)
+            spec_l1 = jnp.sum(jnp.abs(img - target) * m) / denom
+            spec_mse = jnp.sum(((img - target) ** 2) * m) / denom
+            total = spec_l1
+            diff_l1 = diff_mse = jnp.zeros(())
+            if apply_diffuse_render_regularization:
+                dimg = out.extra["diffuse_colour"].reshape(
+                    *base_hw, NUM_COLOUR_CHANNELS
+                )
+                diff_l1 = jnp.sum(jnp.abs(dimg - target) * m) / denom
+                diff_mse = jnp.sum(((dimg - target) ** 2) * m) / denom
+                total = total + diff_l1
+            return total, dict(
+                specular_loss=spec_l1,
+                diffuse_loss=diff_l1,
+                specular_psnr=mse2psnr(spec_mse),
+                diffuse_psnr=mse2psnr(diff_mse),
+            )
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        return new_grid, new_opt_state, metrics
+
+    return jax.jit(step)
 
 
 def make_recon_train_step_streaming(

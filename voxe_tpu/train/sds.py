@@ -187,6 +187,101 @@ def make_sds_train_step(
     return jax.jit(step)
 
 
+def make_sds_train_step_shearwarp(
+    sd: StableDiffusion,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    base_hw: tuple,
+    *,
+    do_sds: bool = True,
+    guidance_scale: float = 100.0,
+    density_correlation_weight: float = 0.0,
+    feature_correlation_weight: float = 0.0,
+    tv_density_weight: float = 0.0,
+    tv_features_weight: float = 0.0,
+    l2_mode: bool = False,
+    l1_mode: bool = False,
+    mesh=None,
+    remat_sds: bool = True,
+) -> Callable:
+    """The north-star edit step on the SHEAR-WARP fast path.
+
+    The volumetric render that feeds SD is the shear-warp base-plane frame —
+    a genuine pinhole image of the object from the drawn pose (SDS only needs
+    a differentiable rendering; the reference feeds SD whatever frame its
+    renderer produces, sds_trainer.py:283-295). Backward through the render
+    is transposed matmuls: the exact renderer's 8 scatter-adds (2.5 s each at
+    dog2 shapes — 20 of the 22.1 s/iter measured in BENCHMARKS.md) disappear
+    entirely. Volumetric losses (DCL/FCL/TV) are unchanged — they never
+    touch rays.
+
+    signature: step(grid, opt_state, sd_params, text_embeddings [2,77,D],
+                    rotation [3,3], translation [3,1],
+                    ref_densities, ref_features, key, t)
+               -> (grid, opt_state, metrics)
+    """
+    from voxe_tpu.render.shearwarp import render_shear_warp
+
+    base_hw = tuple(base_hw)
+
+    def step(
+        grid, opt_state, sd_params, text_embeddings, rotation, translation,
+        ref_densities, ref_features, key, t,
+    ):
+        k_render, k_sds = jax.random.split(key)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate
+
+            grid = replicate(mesh, grid)
+        pose = CameraPose(rotation=rotation, translation=translation)
+
+        def loss_fn(g):
+            out, _ = render_shear_warp(
+                g, pose, render_config, base_hw=base_hw, key=k_render, mesh=mesh
+            )
+            total = jnp.zeros(())
+            metrics = {}
+
+            if do_sds:
+                imgs = out.colour.reshape(1, *base_hw, 3)
+
+                def sds_fn(imgs_):
+                    return sd.sds_loss(
+                        sd_params, text_embeddings, imgs_, k_sds, t, guidance_scale
+                    )
+
+                if remat_sds:
+                    sds_fn = jax.checkpoint(sds_fn)
+                total = total + sds_fn(imgs)
+
+            dcl, _ = density_correlation_loss_fn(
+                g.densities, ref_densities, l2_mode=l2_mode, l1_mode=l1_mode
+            )
+            total = total + dcl * density_correlation_weight
+            metrics["density_correlation_loss"] = dcl
+            if feature_correlation_weight > 0.0:
+                fcl = feature_correlation_loss(g.features, ref_features)
+                total = total + fcl * feature_correlation_weight
+                metrics["feature_correlation_loss"] = fcl
+            if tv_density_weight > 0.0:
+                tv_d = tv_loss_on_grid(jax.nn.relu(g.densities))
+                total = total + tv_d * tv_density_weight
+                metrics["tv_density_loss"] = tv_d
+            if tv_features_weight > 0.0:
+                tv_f = tv_loss_on_grid(g.features)
+                total = total + tv_f * tv_features_weight
+                metrics["tv_features_loss"] = tv_f
+            return total, metrics
+
+        (total_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+        updates, new_opt_state = optimizer.update(grads, opt_state, grid)
+        new_grid = optax.apply_updates(grid, updates)
+        metrics["total_loss"] = total_loss
+        return new_grid, new_opt_state, metrics
+
+    return jax.jit(step)
+
+
 def make_sds_train_multi_step(
     sd: StableDiffusion,
     render_config: SHVoxGridRenderConfig,
