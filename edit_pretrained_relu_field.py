@@ -174,6 +174,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices for the "
               "SDS and refinement stages (1-D jax.sharding.Mesh)", show_default=True)
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+              help="route the SDS render through the gather/scatter-free "
+              "shear-warp fast path (random-pose global edits)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -261,6 +264,7 @@ def main(**kwargs) -> None:
         fast_debug_mode=config.fast_debug_mode,
         steps_per_call=config.steps_per_call,
         mesh=edit_mesh,
+        use_shear_warp=config.use_shear_warp,
     )
 
     if config.do_refinement:

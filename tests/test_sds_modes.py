@@ -104,8 +104,10 @@ def setup(tmp_path_factory):
         dict(data_pose_mode=True),
         dict(l2_mode=True),
         dict(l1_mode=True),
+        dict(use_shear_warp=True),
     ],
-    ids=["uncoupled-l1", "uncoupled-l2", "datapose-dcl", "grid-l2", "grid-l1"],
+    ids=["uncoupled-l1", "uncoupled-l2", "datapose-dcl", "grid-l2", "grid-l1",
+         "shearwarp-dcl"],
 )
 def test_sds_trainer_ablation_modes(setup, tmp_path, mode_kwargs):
     dataset, sd, model = setup

@@ -168,6 +168,65 @@ def test_recon_shearwarp_sharded_matches_unsharded(rcfg, scene):
     assert abs(float(m1["total_loss"]) - float(m8["total_loss"])) < 1e-4
 
 
+def test_trainer_end_to_end_shearwarp(tmp_path):
+    """The production recon trainer with use_shear_warp=True: multi-stage
+    coarse-to-fine, per-stage target warping, held-out PSNR via the exact
+    renderer."""
+    from voxe_tpu.data.dataset import PosedImagesDataset
+    from voxe_tpu.data.synthetic import generate_synthetic_scene
+    from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
+    from voxe_tpu.train.testers import test_sh_vox_grid_vol_mod_with_posed_images
+    from voxe_tpu.utils.misc import (
+        compute_expected_density_scale_for_relu_field_grid,
+    )
+
+    scene_dir = generate_synthetic_scene(
+        tmp_path / "scene", num_train=8, num_test=2, image_size=48,
+        focal=48.0, grid_res=32,
+    )
+    dataset = PosedImagesDataset(
+        images_dir=scene_dir / "images",
+        camera_params_json=scene_dir / "train_camera_params.json",
+    )
+    res, world = 32, 3.0
+    cfg = VoxelGridConfig(
+        voxel_size=VoxelSize(*([world / res] * 3)),
+        density_preactivation="identity",
+        density_postactivation="softplus",
+        expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
+            (world,) * 3
+        ),
+    )
+    grid = VoxelGrid(jnp.zeros((res, res, res, 1)), jnp.zeros((res, res, res, 3)), cfg)
+    rcfg2 = SHVoxGridRenderConfig(
+        num_samples_per_ray=64,
+        camera_bounds=dataset.camera_bounds,
+        white_bkgd=True,
+        render_num_samples_per_ray=128,
+        parallel_rays_chunk_size=16384,
+    )
+    model = VolumetricModel(grid, rcfg2)
+    model = train_sh_vox_grid_vol_mod_with_posed_images(
+        model,
+        dataset,
+        tmp_path / "out",
+        image_batch_cache_size=4,
+        ray_batch_size=4096,
+        num_stages=2,
+        num_iterations_per_stage=120,
+        learning_rate=0.03,
+        lr_decay_steps_per_stage=80,
+        save_freq=10_000,
+        test_freq=10_000,
+        feedback_freq=10_000,
+        summary_freq=10_000,
+        fast_debug_mode=True,
+        use_shear_warp=True,
+    )
+    metrics = test_sh_vox_grid_vol_mod_with_posed_images(model, dataset)
+    assert metrics["psnr"] > 25.0, metrics
+
+
 def test_sds_shearwarp_step(rcfg):
     """Tiny-SD SDS edit step on the shear-warp path: finite losses, grid
     actually moves, DCL anchors to the reference densities."""

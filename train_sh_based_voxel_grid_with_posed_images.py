@@ -127,6 +127,13 @@ from voxe_tpu.utils.misc import (
 @click.option("--use_fused_kernel", type=click.BOOL, required=False, default=False,
               help="route ray compositing through the fused Pallas TPU kernel",
               show_default=True)
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+              help="train on the gather/scatter-free shear-warp fast path "
+              "(banded interpolation matmuls; targets pre-warped to the base "
+              "plane once per stage)", show_default=True)
+@click.option("--shear_warp_base_res", type=click.INT, required=False, default=None,
+              help="base-plane lattice resolution for --use_shear_warp "
+              "(default: the stage image resolution)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -241,6 +248,8 @@ def main(**kwargs) -> None:
         resume_from=Path(config.resume_from) if config.resume_from else None,
         coarse_stages_on_cpu=config.coarse_stages_on_cpu,
         num_devices=config.num_devices,
+        use_shear_warp=config.use_shear_warp,
+        shear_warp_base_res=config.shear_warp_base_res,
     )
 
 

@@ -442,6 +442,8 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     steps_per_call: int = 1,
     coarse_stages_on_cpu: bool = False,
     coarse_ray_batch_size: Optional[int] = None,
+    use_shear_warp: bool = False,
+    shear_warp_base_res: Optional[int] = None,
 ) -> VolumetricModel:
     """Multi-stage coarse-to-fine reconstruction (reference trainers.py:55-506).
 
@@ -595,7 +597,34 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 * stage_dataset.camera_intrinsics.height
                 * stage_dataset.camera_intrinsics.width,
             )
-            if streaming:
+            sw_active = use_shear_warp and not streaming
+            sw_targets = sw_masks = None
+            if use_shear_warp and streaming:
+                log.warning(
+                    "shear-warp training needs on-device base targets; "
+                    "streaming stage falls back to the exact renderer"
+                )
+            if sw_active:
+                if steps_per_call > 1:
+                    log.warning("shear-warp path dispatches per step; steps_per_call=1")
+                    steps_per_call = 1
+                base_res = shear_warp_base_res or max(
+                    stage_dataset.camera_intrinsics.height,
+                    stage_dataset.camera_intrinsics.width,
+                )
+                base_hw = (base_res, base_res)
+                log.info(f"shear-warp fast path: base lattice {base_hw}")
+                sw_targets, sw_masks = warp_dataset_to_base(
+                    images, poses, stage_dataset.camera_intrinsics, grid, base_hw
+                )
+                train_step = make_recon_train_step_shearwarp(
+                    stage_render_config,
+                    optimizer,
+                    base_hw,
+                    apply_diffuse_render_regularization,
+                    mesh=stage_mesh,
+                )
+            elif streaming:
                 if steps_per_call > 1:
                     log.warning(
                         "streaming dataset: scan step-fusion needs the scene "
@@ -652,7 +681,13 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 start_iteration, num_iterations_per_stage + 1, steps_per_call
             ):
                 key, step_key = jax.random.split(key)
-                if streaming:
+                if sw_active:
+                    idx = jnp.asarray(int(rng.integers(0, len(stage_dataset))))
+                    grid, opt_state, metrics = train_step(
+                        grid, opt_state, sw_targets, sw_masks, poses, idx, step_key
+                    )
+                    global_step += 1
+                elif streaming:
                     # host-side sampling from the memmap; device sees only the
                     # tiny pose block + the [R, 3] pixel batch
                     batch_indices = np.asarray(next(batch_iter))

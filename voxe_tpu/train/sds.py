@@ -435,8 +435,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     fast_debug_mode: bool = False,
     mesh=None,
     steps_per_call: int = 1,
+    use_shear_warp: bool = False,
 ) -> VolumetricModel:
-    """The Vox-E editing loop (reference sds_trainer.py:47-469)."""
+    """The Vox-E editing loop (reference sds_trainer.py:47-469).
+
+    `use_shear_warp` routes the per-iteration volumetric render through the
+    gather/scatter-free shear-warp fast path (voxe_tpu/render/shearwarp.py);
+    SD sees the base-plane pinhole frame. Random-pose global edits only —
+    uncoupled/data-pose modes need screen-space pixels and keep the exact
+    renderer."""
     assert sds_prompt != "none", "you have to supply a text prompt to use SDS"
     im_h, im_w = image_dims
 
@@ -480,11 +487,32 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     grid = sds_vol_mod.grid
     opt_state = optimizer.init(grid)
 
+    sw_active = use_shear_warp and not uncoupled_mode and not data_pose_mode
+    if use_shear_warp and not sw_active:
+        log.warning(
+            "shear-warp edit path supports random-pose mode only; "
+            "uncoupled/data-pose modes use the exact renderer"
+        )
     use_fused = (
         steps_per_call > 1 and not uncoupled_mode and not data_pose_mode
-        and sds_loss_wrapper.directional
+        and sds_loss_wrapper.directional and not sw_active
     )
-    if use_fused:
+    if sw_active:
+        step_fn = make_sds_train_step_shearwarp(
+            sd,
+            sds_vol_mod.render_config,
+            optimizer,
+            image_dims,
+            do_sds=do_sds,
+            density_correlation_weight=density_correlation_weight,
+            feature_correlation_weight=feature_correlation_weight,
+            tv_density_weight=tv_density_weight,
+            tv_features_weight=tv_features_weight,
+            l2_mode=l2_mode,
+            l1_mode=l1_mode,
+            mesh=mesh,
+        )
+    elif use_fused:
         multi_step_fn = make_sds_train_multi_step(
             sd,
             sds_vol_mod.render_config,
@@ -624,14 +652,18 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
                 pose, direction, pitch, yaw = get_random_pose(
                     HEMISPHERICAL_RADIUS_CONSTANT, rng
                 )
-                rays = flatten_rays(
-                    cast_rays(
-                        camera_intrinsics,
-                        jnp.asarray(pose.rotation),
-                        jnp.asarray(pose.translation),
+                if sw_active:
+                    sw_rot = jnp.asarray(pose.rotation)
+                    sw_trans = jnp.asarray(pose.translation).reshape(3, 1)
+                else:
+                    rays = flatten_rays(
+                        cast_rays(
+                            camera_intrinsics,
+                            jnp.asarray(pose.rotation),
+                            jnp.asarray(pose.translation),
+                        )
                     )
-                )
-                pixels = zero_pixels[: im_h * im_w]
+                    pixels = zero_pixels[: im_h * im_w]
                 current_pose = pose
 
         # ---- t annealing schedule (host; reference sd.py:176-187)
@@ -640,10 +672,16 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
         t = sd.sample_timestep(k_t)
 
         text_embeddings = sds_loss_wrapper.encoding_for_direction(direction)
-        grid, opt_state, metrics = step_fn(
-            grid, opt_state, sd.params, text_embeddings, rays, pixels,
-            ref_densities, ref_features, k_step, t,
-        )
+        if sw_active:
+            grid, opt_state, metrics = step_fn(
+                grid, opt_state, sd.params, text_embeddings, sw_rot, sw_trans,
+                ref_densities, ref_features, k_step, t,
+            )
+        else:
+            grid, opt_state, metrics = step_fn(
+                grid, opt_state, sd.params, text_embeddings, rays, pixels,
+                ref_densities, ref_features, k_step, t,
+            )
 
         time_training += time.perf_counter() - last_time
         last_iter = global_step == num_iterations
