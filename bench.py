@@ -1,17 +1,31 @@
-"""Benchmark: reconstruction-training ray throughput (rays/sec/chip).
+"""Benchmark: SDS edit-step latency — the flagship Vox-E workload.
 
-Measures the recon hot loop — the jitted train step (dual-render fwd + bwd +
-Adam) at the reference's default working set: 32768 rays x 256 samples/ray on
-a 160^3 softplus-field grid, sh_degree 0 (reference defaults:
-train_sh_based_voxel_grid_with_posed_images.py:92-99).
+Measures the fully-jitted edit iteration at the dog2 working set: a 160^3
+softplus grid rendered to a 400^2 frame on the gather/scatter-free shear-warp
+fast path (voxe_tpu/render/shearwarp.py), feeding a REAL-SHAPE SD 2.0 stack
+(1.29B params, zero-valued weights - identical FLOPs to real weights):
+resize->VAE-encode->2xUNet(bf16, CFG)->SDS-grad-inject, plus the volumetric
+density-correlation loss and the Adam update. One program, one dispatch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-`vs_baseline` compares against an ESTIMATED reference throughput on its own
-hardware (RTX A5000): the reference recon trainer runs its hot loop at ~10
-it/s at 32768 rays/iter (ReLU-fields-class trainers; no number is published in
-the repo — BASELINE.md notes published=={}), i.e. ~0.33M rays/s. Revisit when
-a measured reference number exists.
+`vs_baseline` compares against the reference's ONLY published performance
+number: the global edit takes ~50 min for 8000 SDS iterations on an RTX A5000
+(reference README.md:91-92), i.e. ~375 ms/iteration at the same working set
+(400^2 dog2 frame, SD 2.0 at 512^2, CFG, guidance 100 - reference
+thre3d_atom/thre3d_reprs/sd.py:191-215). vs_baseline = 375 / measured_ms.
+
+Timing drains through a device->host fetch of the result bytes: on the axon
+relay transport, block_until_ready returns before device execution completes
+(BENCHMARKS.md "measurement truth"), so a fetch is the only hard barrier.
+Each step consumes the previous step's grid/optimizer state - no dedupe or
+overlap between iterations is possible.
+
+Env knobs:
+  VOXE_BENCH_MODE=edit|recon   (default edit - the headline)
+  VOXE_BENCH_ITERS=N           (default 20)
+  VOXE_SHEARWARP=0             exact per-sample renderer instead (slow path)
+  VOXE_BENCH_BASE=N            frame/base resolution (default 400)
 """
 import json
 import logging
@@ -22,37 +36,23 @@ import time
 # keep stdout to exactly one JSON line: route all logging to stderr
 logging.basicConfig(stream=sys.stderr, level=logging.WARNING, force=True)
 
+# reference README.md:91-92: ~50 min / 8000 iters on RTX A5000
+REFERENCE_EDIT_MS_PER_ITER = 375.0
+# recon mode: no published reference number exists; vs_baseline uses the
+# reference cost model at ~10 it/s x 32768 rays (ESTIMATE - see BASELINE.md)
 REFERENCE_RAYS_PER_SEC_EST = 0.33e6
 
 
-def main() -> None:
+def _make_grid(res: int = 160):
     import jax
-
-    # persistent compilation cache: makes the benchmark robust to slow/flaky
-    # remote-compile services — any prior successful compile is reused
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    import jax.numpy as jnp
-    import optax
+    import jax.numpy as jnp  # noqa: F401
 
     from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
-    from voxe_tpu.render.interface import SHVoxGridRenderConfig
-    from voxe_tpu.train.recon import make_recon_train_step
-    from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics
     from voxe_tpu.utils.misc import (
         compute_expected_density_scale_for_relu_field_grid,
     )
 
-    res = 160
-    ray_batch = 32768
-    num_samples = 256
-    image_size = 256  # ray pool resolution (pixels are synthetic)
-    num_images = 8
-
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     config = VoxelGridConfig(
         voxel_size=VoxelSize(*[3.0 / res] * 3),
         density_preactivation="identity",
@@ -62,59 +62,196 @@ def main() -> None:
             (3.0, 3.0, 3.0)
         ),
     )
-    grid = VoxelGrid(
+    return VoxelGrid(
         densities=jax.random.uniform(k1, (res, res, res, 1), minval=-1.0, maxval=1.0),
         features=jax.random.uniform(k2, (res, res, res, 3), minval=-1.0, maxval=1.0),
         config=config,
     )
+
+
+def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from voxe_tpu.models.sd import StableDiffusion
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.render.rays import Rays, cast_rays, flatten_rays
+    from voxe_tpu.train.sds import (
+        make_sds_train_step,
+        make_sds_train_step_shearwarp,
+    )
+    from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
+
+    grid = _make_grid(160)
     render_config = SHVoxGridRenderConfig(
-        num_samples_per_ray=num_samples,
+        num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
-        # VOXE_FUSED_KERNEL=1 measures the Pallas compositing kernel path
+    )
+    sd = StableDiffusion(sd_version="2.0", init_mode="zeros")
+    optimizer = optax.adam(0.03)
+    opt_state = optimizer.init(grid)
+    text = sd.get_text_embeds("a dog made of yarn, front view", "")
+    ref_d = jnp.copy(grid.densities)
+    ref_f = jnp.copy(grid.features)
+    pose = pose_spherical(30.0, 40.0, 4.0311)
+    key = jax.random.PRNGKey(1)
+    t = jnp.asarray(500)
+
+    if use_shearwarp:
+        step = make_sds_train_step_shearwarp(
+            sd, render_config, optimizer, (frame, frame),
+            density_correlation_weight=200.0,
+        )
+        args = lambda g, s, k: (  # noqa: E731
+            g, s, sd.params, text,
+            jnp.asarray(pose.rotation), jnp.asarray(pose.translation).reshape(3, 1),
+            ref_d, ref_f, k, t,
+        )
+    else:
+        step = make_sds_train_step(
+            sd, render_config, optimizer, (frame, frame),
+            density_correlation_weight=200.0,
+        )
+        rays = flatten_rays(
+            cast_rays(
+                CameraIntrinsics(frame, frame, float(frame)),
+                jnp.asarray(pose.rotation),
+                jnp.asarray(pose.translation),
+            )
+        )
+        pixels = jnp.zeros((frame * frame, 3))
+        args = lambda g, s, k: (  # noqa: E731
+            g, s, sd.params, text, rays, pixels, ref_d, ref_f, k, t,
+        )
+
+    # warmup/compile; the fetch is the only hard barrier on this transport
+    g, s, m = step(*args(grid, opt_state, key))
+    _ = np.asarray(g.densities.ravel()[:1])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        g, s, m = step(*args(g, s, jax.random.PRNGKey(i)))
+    _ = np.asarray(g.densities.ravel()[:1])  # hard barrier
+    elapsed = time.perf_counter() - t0
+
+    ms = elapsed / iters * 1e3
+    return {
+        "metric": "sds_edit_step_ms",
+        "value": round(ms, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round(REFERENCE_EDIT_MS_PER_ITER / ms, 3),
+    }
+
+
+def bench_recon(use_shearwarp: bool, iters: int, frame: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.train.recon import (
+        make_recon_train_step,
+        make_recon_train_step_shearwarp,
+    )
+    from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
+
+    grid = _make_grid(160)
+    render_config = SHVoxGridRenderConfig(
+        num_samples_per_ray=256,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True,
         use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "0") == "1",
     )
     optimizer = optax.adam(0.03)
     opt_state = optimizer.init(grid)
-    intrinsics = CameraIntrinsics(image_size, image_size, float(image_size))
+    key = jax.random.PRNGKey(1)
 
-    step = make_recon_train_step(
-        intrinsics, render_config, optimizer, ray_batch_size=ray_batch, donate=False
-    )
+    if use_shearwarp:
+        import numpy as onp
 
-    images = jnp.zeros((num_images, image_size, image_size, 3))
-    poses = (
-        jnp.tile(jnp.eye(3, 4)[None], (num_images, 1, 1)).at[:, 2, 3].set(4.0)
-    )
-    batch_idx = jnp.arange(num_images)
+        num_images = 8
+        base_hw = (frame, frame)
+        poses_np = []
+        rng = onp.random.default_rng(0)
+        for _ in range(num_images):
+            p = pose_spherical(
+                float(rng.random() * 360.0), 15.0 + float(rng.random() * 70.0), 4.0311
+            )
+            poses_np.append(
+                onp.concatenate(
+                    [onp.asarray(p.rotation), onp.asarray(p.translation).reshape(3, 1)],
+                    axis=1,
+                )
+            )
+        poses = jnp.asarray(onp.stack(poses_np))
+        targets = jnp.zeros((num_images, *base_hw, 3))
+        masks = jnp.ones((num_images, *base_hw))
+        step = make_recon_train_step_shearwarp(render_config, optimizer, base_hw)
+        rays_per_step = frame * frame
 
-    import numpy as np
+        def run(g, s, k, i):
+            return step(g, s, targets, masks, poses, jnp.asarray(i % num_images), k)
 
-    # warmup / compile. NOTE: on relayed TPU transports block_until_ready can
-    # return before device execution finishes (verified with profiler traces,
-    # BENCHMARKS.md "measurement truth"); a device->host fetch of the result
-    # is the only hard barrier, so all timing here drains through one.
-    g, s, m = step(grid, opt_state, images, poses, batch_idx, jax.random.PRNGKey(1))
+    else:
+        ray_batch = 32768
+        image_size = 256
+        num_images = 8
+        intrinsics = CameraIntrinsics(image_size, image_size, float(image_size))
+        step = make_recon_train_step(
+            intrinsics, render_config, optimizer, ray_batch_size=ray_batch,
+            donate=False,
+        )
+        images = jnp.zeros((num_images, image_size, image_size, 3))
+        poses = (
+            jnp.tile(jnp.eye(3, 4)[None], (num_images, 1, 1)).at[:, 2, 3].set(4.0)
+        )
+        batch_idx = jnp.arange(num_images)
+        rays_per_step = ray_batch
+
+        def run(g, s, k, i):
+            return step(g, s, images, poses, batch_idx, k)
+
+    g, s, m = run(grid, opt_state, key, 0)
     _ = np.asarray(g.densities.ravel()[:1])
 
-    iters = int(os.environ.get("VOXE_BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
-        g, s, m = step(g, s, images, poses, batch_idx, jax.random.PRNGKey(i))
+        g, s, m = run(g, s, jax.random.PRNGKey(i), i)
     _ = np.asarray(g.densities.ravel()[:1])  # hard barrier
     elapsed = time.perf_counter() - t0
 
-    rays_per_sec = ray_batch * iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "recon_train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_EST, 3),
-            }
-        )
-    )
+    rays_per_sec = rays_per_step * iters / elapsed
+    return {
+        "metric": "recon_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_EST, 3),
+    }
+
+
+def main() -> None:
+    import jax
+
+    # persistent compilation cache: makes the benchmark robust to slow/flaky
+    # remote-compile services - any prior successful compile is reused
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    mode = os.environ.get("VOXE_BENCH_MODE", "edit")
+    use_shearwarp = os.environ.get("VOXE_SHEARWARP", "1") == "1"
+    iters = int(os.environ.get("VOXE_BENCH_ITERS", "20"))
+    frame = int(os.environ.get("VOXE_BENCH_BASE", "400"))
+
+    if mode == "recon":
+        result = bench_recon(use_shearwarp, iters, frame if use_shearwarp else 400)
+    else:
+        result = bench_edit(use_shearwarp, iters, frame)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

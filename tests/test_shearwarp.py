@@ -116,6 +116,24 @@ def test_no_gather_scatter_in_training_hlo(grid, rcfg):
     assert not ops, f"gather/scatter leaked into the shear-warp program: {ops}"
 
 
+def test_bf16_grid_matches_f32(grid, rcfg):
+    """gather_dtype=bfloat16 routes the resample einsums through the bf16 MXU
+    path (f32 accumulation); the image stays within bf16 quantization of the
+    f32 render."""
+    import dataclasses
+
+    bf_grid = grid.replace(
+        config=dataclasses.replace(grid.config, gather_dtype="bfloat16")
+    )
+    pose = pose_spherical(40.0, 30.0, 4.0)
+    out32, _ = render_shear_warp(grid, pose, rcfg, base_hw=(64, 64))
+    out16, _ = render_shear_warp(bf_grid, pose, rcfg, base_hw=(64, 64))
+    a, b = np.asarray(out32.colour), np.asarray(out16.colour)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 35.0, f"bf16 shear-warp diverges from f32: {psnr:.2f} dB"
+
+
 def test_screen_to_base_roundtrip(grid, rcfg):
     """Screen rays through the base plane land inside the base window."""
     pose = pose_spherical(50.0, 35.0, 4.0)

@@ -195,6 +195,12 @@ class UNet2DConditionModel(nn.Module):
         time_embed_dim = cfg.block_out_channels[0] * 4
         temb = nn.Dense(time_embed_dim, name="time_embedding_linear_1")(temb)
         temb = nn.Dense(time_embed_dim, name="time_embedding_linear_2")(nn.silu(temb))
+        # the sinusoid/first projections run f32 for precision (tiny); cast to
+        # the activation dtype HERE or the f32 temb poisons every resnet's
+        # `h + temb_out` to f32 and with it every conv after it (2x HBM and
+        # the non-bf16 MXU path — measured as the "f32 activation upcasts" in
+        # BENCHMARKS.md "sds half")
+        temb = temb.astype(sample.dtype)
 
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in")(sample)
         skips = [h]

@@ -132,13 +132,23 @@ def _render_canonical(
     Wa = _interp_matrices(src_a, A)  # [S, U, A]
     Wb = _interp_matrices(src_b, B)  # [S, V, B]
 
-    # resample every slice onto the base pixel lattice: two MXU contractions
-    tmp = jnp.einsum("sua,sabc->subc", Wa, vol)  # [S, U, B, C+1]
+    # resample every slice onto the base pixel lattice: two MXU contractions.
+    # bf16 grids: cast the hat weights to the volume dtype so the contraction
+    # runs on the bf16 MXU path (mixed f32xbf16 einsum silently promotes the
+    # whole matmul to f32); accumulate f32 (preferred_element_type)
+    dt = vol.dtype
+    tmp = jnp.einsum(
+        "sua,sabc->subc", Wa.astype(dt), vol,
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # [S, U, B, C+1]
     if mesh is not None:
         from voxe_tpu.parallel.mesh import shard_axis
 
         tmp = shard_axis(mesh, tmp, axis=1)  # DP over base rows (u)
-    resampled = jnp.einsum("svb,subc->uvsc", Wb, tmp)  # [U, V, S, C+1]
+    resampled = jnp.einsum(
+        "svb,subc->uvsc", Wb.astype(dt), tmp,
+        preferred_element_type=jnp.float32,
+    )  # [U, V, S, C+1]
     if mesh is not None:
         from voxe_tpu.parallel.mesh import shard_axis
 
