@@ -1,0 +1,120 @@
+"""End-to-end SDS edit with an ORACLE denoiser: proves the edit loop edits.
+
+Real SD weights are unavailable in this environment (zero egress), so the
+score-distillation machinery has only ever been exercised with random/zero
+weights — structurally complete but never shown to EDIT anything. This test
+closes that gap analytically: for a delta target distribution at image x*,
+the exact noise predictor is
+
+    eps_hat(x_t, t) = (x_t - sqrt(abar_t) * x*) / sqrt(1 - abar_t)
+
+(the score of N(sqrt(abar) x*, (1-abar) I) up to sign/scale). Substituting
+x_t = sqrt(abar) x + sqrt(1-abar) eps gives
+
+    eps_hat - eps = sqrt(abar)/sqrt(1-abar) * (x - x*),
+
+so the injected SDS gradient w(t)(eps_hat - eps) points from the render x
+toward the target x* — exactly what SD's UNet provides for a text prompt
+(reference thre3d_atom/thre3d_reprs/sd.py:174-234). Running the REAL edit
+train step (shear-warp render -> gradient injection -> Adam, the same jitted
+program the edit CLI uses) with this oracle must therefore visibly recolour
+the object. If any piece of the chain — the differentiable render, the
+custom-vjp specify_gradient, the timestep weighting, the optimizer wiring —
+were broken, the object would not move toward the target.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from voxe_tpu.data.synthetic import make_demo_grid
+from voxe_tpu.models.sd.scheduler import DDIMScheduler
+from voxe_tpu.models.sd.sds import specify_gradient
+from voxe_tpu.render.interface import SHVoxGridRenderConfig
+from voxe_tpu.render.shearwarp import render_shear_warp
+from voxe_tpu.train.sds import make_sds_train_step_shearwarp
+from voxe_tpu.utils.camera import CameraBounds, pose_spherical
+
+
+class OracleSDS:
+    """Duck-typed StableDiffusion stand-in with an analytic noise predictor
+    for a delta distribution at a constant-colour image."""
+
+    def __init__(self, target_rgb, num_train_timesteps: int = 1000):
+        self.scheduler = DDIMScheduler(num_train_timesteps, 0.00085, 0.012)
+        self.alphas = self.scheduler.alphas_cumprod
+        self.target = jnp.asarray(target_rgb, jnp.float32)
+
+    def sds_loss(self, params, text_embeddings, pred_rgb, key, t, guidance_scale=100.0):
+        x = pred_rgb  # [B, H, W, 3] in [0, 1]; pixel space IS the latent space
+        x_star = jnp.broadcast_to(self.target, x.shape)
+        abar = self.alphas[t]
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        x_t = jnp.sqrt(abar) * jax.lax.stop_gradient(x) + jnp.sqrt(1.0 - abar) * noise
+        eps_hat = (x_t - jnp.sqrt(abar) * x_star) / jnp.sqrt(1.0 - abar)
+        grad = (1.0 - abar) * (eps_hat - noise)  # w(t) = 1 - abar, as in SD
+        return specify_gradient(x, jnp.nan_to_num(grad))
+
+
+def test_oracle_sds_recolours_the_object():
+    grid = make_demo_grid(res=24)
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=48,
+        camera_bounds=CameraBounds(0.5, 10.0),
+        white_bkgd=True,
+        perturb_sampled_points=False,
+    )
+    base_hw = (40, 40)
+    target = (1.0, 0.1, 0.1)  # "make it red"
+    oracle = OracleSDS(target)
+
+    optimizer = optax.adam(0.05)
+    opt_state = optimizer.init(grid)
+    # small DCL anchor keeps the GEOMETRY; features are free to move --
+    # exactly the global-edit configuration (reference sds_trainer.py:305)
+    step = make_sds_train_step_shearwarp(
+        oracle, rcfg, optimizer, base_hw, density_correlation_weight=5.0,
+    )
+    ref_d = jnp.copy(grid.densities)
+    ref_f = jnp.copy(grid.features)
+
+    def object_colour(g):
+        """Mean rendered colour over object pixels (acc weight > 0.5)."""
+        from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+
+        out, _ = render_shear_warp(g, pose_spherical(30.0, 40.0, 4.031), rcfg,
+                                   base_hw=base_hw)
+        img = np.asarray(out.colour)
+        w = np.asarray(out.extra[EXTRA_ACCUMULATED_WEIGHTS]).reshape(-1)
+        mask = w > 0.5
+        assert mask.sum() > 20
+        return img[mask].mean(axis=0)
+
+    before = object_colour(grid)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    for i in range(150):
+        key, k_t, k_step = jax.random.split(key, 3)
+        pose = pose_spherical(
+            float(rng.random() * 360.0), 15.0 + float(rng.random() * 60.0), 4.031
+        )
+        t = jax.random.randint(k_t, (), 20, 980)
+        grid, opt_state, metrics = step(
+            grid, opt_state, {}, jnp.zeros((2, 77, 8)),
+            jnp.asarray(pose.rotation), jnp.asarray(pose.translation).reshape(3, 1),
+            ref_d, ref_f, k_step, t,
+        )
+    after = object_colour(grid)
+
+    target_np = np.asarray(target)
+    dist_before = float(np.linalg.norm(before - target_np))
+    dist_after = float(np.linalg.norm(after - target_np))
+    # the object must move most of the way to the target colour
+    assert dist_after < 0.5 * dist_before, (before, after)
+    # and specifically become red-dominated
+    assert after[0] > after[1] + 0.2 and after[0] > after[2] + 0.2, after
+    # geometry anchored: densities stayed correlated with the reference
+    d0 = np.asarray(ref_d).ravel()
+    d1 = np.asarray(grid.densities).ravel()
+    corr = np.corrcoef(d0, d1)[0, 1]
+    assert corr > 0.9, corr
