@@ -105,9 +105,11 @@ def setup(tmp_path_factory):
         dict(l2_mode=True),
         dict(l1_mode=True),
         dict(use_shear_warp=True),
+        dict(steps_per_call=2),
+        dict(steps_per_call=2, use_shear_warp=True),
     ],
     ids=["uncoupled-l1", "uncoupled-l2", "datapose-dcl", "grid-l2", "grid-l1",
-         "shearwarp-dcl"],
+         "shearwarp-dcl", "fused-scan", "fused-scan-shearwarp"],
 )
 def test_sds_trainer_ablation_modes(setup, tmp_path, mode_kwargs):
     dataset, sd, model = setup

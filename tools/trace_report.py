@@ -1,0 +1,184 @@
+"""Capture a jax.profiler trace of a probe program and report per-op device time.
+
+The axon relay distorts every host-side timing EXCEPT the profiler's own
+device timeline (BENCHMARKS.md "measurement truth"), so this is the ground
+truth for optimization decisions. Parses the perfetto/chrome trace JSON the
+profiler writes (no tensorboard/tensorflow needed).
+
+Usage:
+  python tools/trace_report.py --probe sd_half   [--frame 400 --iters 3]
+  python tools/trace_report.py --probe render_grad
+  python tools/trace_report.py --probe full
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def report(logdir: Path, top: int = 25) -> None:
+    traces = sorted(logdir.rglob("*.trace.json.gz"))
+    if not traces:
+        print("no trace found under", logdir)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device-lane complete events: pid/tid lanes named like "/device:TPU:0"
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dur_by_op = defaultdict(float)
+    count_by_op = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        name = e.get("name", "?")
+        dur = float(e.get("dur", 0.0))  # microseconds
+        dur_by_op[name] += dur
+        count_by_op[name] += 1
+        total += dur
+    print(f"lanes: {sorted(set(pid_names.values()))}")
+    print(f"total device-lane time: {total / 1e3:.2f} ms")
+    for name, dur in sorted(dur_by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {dur / 1e3:9.2f} ms  x{count_by_op[name]:<4d} {name[:110]}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--probe", type=str, required=True,
+                   choices=["sd_half", "render_grad", "full", "report_only"])
+    p.add_argument("--frame", type=int, default=400)
+    p.add_argument("--grid", type=int, default=160)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--logdir", type=str, default="/tmp/voxe_trace")
+    p.add_argument("--top", type=int, default=25)
+    args = p.parse_args()
+
+    logdir = Path(args.logdir) / args.probe
+    if args.probe == "report_only":
+        report(Path(args.logdir), args.top)
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.render.shearwarp import render_shear_warp
+    from voxe_tpu.utils.camera import CameraBounds, pose_spherical
+    from voxe_tpu.utils.misc import (
+        compute_expected_density_scale_for_relu_field_grid,
+    )
+
+    res, frame = args.grid, args.frame
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    grid = VoxelGrid(
+        densities=jax.random.uniform(k1, (res, res, res, 1), minval=-1.0, maxval=1.0),
+        features=jax.random.uniform(k2, (res, res, res, 3), minval=-1.0, maxval=1.0),
+        config=VoxelGridConfig(
+            voxel_size=VoxelSize(*[3.0 / res] * 3),
+            density_preactivation="identity",
+            density_postactivation="softplus",
+            gather_dtype="bfloat16",
+            expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
+                (3.0, 3.0, 3.0)
+            ),
+        ),
+    )
+    render_config = SHVoxGridRenderConfig(
+        num_samples_per_ray=256, camera_bounds=CameraBounds(2.0, 6.0), white_bkgd=True
+    )
+    pose = pose_spherical(30.0, 40.0, 4.0311)
+    optimizer = optax.adam(0.03)
+
+    def fetch(x):
+        return np.asarray(x.ravel()[:1])
+
+    if args.probe == "render_grad":
+        opt_state = optimizer.init(grid)
+
+        @jax.jit
+        def step(g, o):
+            def loss_fn(g_):
+                out, _ = render_shear_warp(g_, pose, render_config,
+                                           base_hw=(frame, frame))
+                return jnp.mean((out.colour - 0.5) ** 2)
+
+            grads = jax.grad(loss_fn)(g)
+            updates, o2 = optimizer.update(grads, o, g)
+            return optax.apply_updates(g, updates), o2
+
+        g, o = step(grid, opt_state)
+        fetch(g.densities)
+        with jax.profiler.trace(str(logdir)):
+            for _ in range(args.iters):
+                g, o = step(g, o)
+            fetch(g.densities)
+    else:
+        from voxe_tpu.models.sd import StableDiffusion
+        from voxe_tpu.train.sds import make_sds_train_step_shearwarp
+
+        sd = StableDiffusion(sd_version="2.0", init_mode="zeros")
+        text = sd.get_text_embeds("a dog made of yarn, front view", "")
+        if args.probe == "sd_half":
+            @jax.jit
+            def half(img):
+                def loss_fn(img_):
+                    return sd.sds_loss(sd.params, text, img_, jax.random.PRNGKey(0),
+                                       jnp.asarray(500), 100.0)
+
+                return img - 1e-6 * jax.grad(loss_fn)(img)
+
+            img = jnp.zeros((1, frame, frame, 3))
+            img = half(img)
+            fetch(img)
+            with jax.profiler.trace(str(logdir)):
+                for _ in range(args.iters):
+                    img = half(img)
+                fetch(img)
+        else:  # full
+            step = make_sds_train_step_shearwarp(
+                sd, render_config, optimizer, (frame, frame),
+                density_correlation_weight=200.0,
+            )
+            opt_state = optimizer.init(grid)
+            ref_d = jnp.copy(grid.densities)
+            ref_f = jnp.copy(grid.features)
+            g, o, _ = step(grid, opt_state, sd.params, text,
+                           jnp.asarray(pose.rotation),
+                           jnp.asarray(pose.translation).reshape(3, 1),
+                           ref_d, ref_f, jax.random.PRNGKey(0), jnp.asarray(500))
+            fetch(g.densities)
+            with jax.profiler.trace(str(logdir)):
+                for _ in range(args.iters):
+                    g, o, _ = step(g, o, sd.params, text,
+                                   jnp.asarray(pose.rotation),
+                                   jnp.asarray(pose.translation).reshape(3, 1),
+                                   ref_d, ref_f, jax.random.PRNGKey(0),
+                                   jnp.asarray(500))
+                fetch(g.densities)
+
+    report(logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -299,6 +299,7 @@ def make_sds_train_multi_step(
     l2_mode: bool = False,
     l1_mode: bool = False,
     mesh=None,
+    use_shear_warp: bool = False,
 ) -> Callable:
     """K fully-fused SDS edit steps per dispatch (random-pose mode).
 
@@ -323,12 +324,19 @@ def make_sds_train_multi_step(
         k_pose, k_t, k_render, k_sds = jax.random.split(step_key, 4)
 
         rotation, translation, pitch_deg, yaw_deg = random_pose_jax(k_pose, radius)
-        rays = flatten_rays(cast_rays(intrinsics, rotation, translation))
-        if mesh is not None:
-            from voxe_tpu.parallel.mesh import replicate, shard_rays
+        if use_shear_warp:
+            rays = None
+            if mesh is not None:
+                from voxe_tpu.parallel.mesh import replicate
 
-            grid = replicate(mesh, grid)
-            rays = Rays(shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions))
+                grid = replicate(mesh, grid)
+        else:
+            rays = flatten_rays(cast_rays(intrinsics, rotation, translation))
+            if mesh is not None:
+                from voxe_tpu.parallel.mesh import replicate, shard_rays
+
+                grid = replicate(mesh, grid)
+                rays = Rays(shard_rays(mesh, rays.origins), shard_rays(mesh, rays.directions))
 
         # view-direction bucket (reference imaging_utils.py:206-214):
         # front=3 unless yaw in (45,315) -> side=0; yaw in (120,240) -> back=2;
@@ -342,13 +350,23 @@ def make_sds_train_multi_step(
         t = jax.random.randint(k_t, (), t_lo, t_hi + 1)
 
         def loss_fn(g):
-            # remat: don't hold the render's per-sample activations across
-            # the SDS half (see make_sds_train_step's remat_render note)
-            colours = jax.checkpoint(
-                lambda g_: render_sh_voxel_grid(
-                    g_, rays, render_config, key=k_render
-                ).colour
-            )(g)
+            if use_shear_warp:
+                from voxe_tpu.render.shearwarp import render_shear_warp
+                from voxe_tpu.utils.camera import CameraPose
+
+                out, _ = render_shear_warp(
+                    g, CameraPose(rotation, translation.reshape(3, 1)),
+                    render_config, base_hw=(im_h, im_w), key=k_render, mesh=mesh,
+                )
+                colours = out.colour
+            else:
+                # remat: don't hold the render's per-sample activations across
+                # the SDS half (see make_sds_train_step's remat_render note)
+                colours = jax.checkpoint(
+                    lambda g_: render_sh_voxel_grid(
+                        g_, rays, render_config, key=k_render
+                    ).colour
+                )(g)
             total = jnp.zeros(())
             metrics = {}
             if do_sds:
@@ -495,9 +513,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
         )
     use_fused = (
         steps_per_call > 1 and not uncoupled_mode and not data_pose_mode
-        and sds_loss_wrapper.directional and not sw_active
+        and sds_loss_wrapper.directional
     )
-    if sw_active:
+    if sw_active and not use_fused:
         step_fn = make_sds_train_step_shearwarp(
             sd,
             sds_vol_mod.render_config,
@@ -527,6 +545,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
             l2_mode=l2_mode,
             l1_mode=l1_mode,
             mesh=mesh,
+            use_shear_warp=sw_active,
         )
         text_by_dir = jnp.stack(
             [
