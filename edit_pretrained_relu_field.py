@@ -311,6 +311,7 @@ def main(**kwargs) -> None:
             # unless the tiny plumbing config was requested
             sd_version="tiny" if config.sd_version == "tiny" else "1.4",
             mesh=edit_mesh,
+            use_shear_warp=config.use_shear_warp,
         )
 
     if config.post_process_scc:

@@ -96,6 +96,10 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices "
               "(1-D jax.sharding.Mesh)", show_default=True)
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+              help="run the refinement renders (RGB frame for attention "
+              "extraction + differentiable attn renders) on the gather/"
+              "scatter-free shear-warp path", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -170,6 +174,7 @@ def main(**kwargs) -> None:
         sd_version=config.sd_version,
         sd_weights_dir=sd_weights_dir,
         num_devices=config.num_devices,
+        use_shear_warp=config.use_shear_warp,
     )
 
 

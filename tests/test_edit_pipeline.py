@@ -93,7 +93,8 @@ def test_sds_edit_training_runs_and_changes_grid(dataset, sd, tmp_path):
     np.testing.assert_array_equal(before, np.asarray(pretrained.grid.densities))
 
 
-def test_refinement_pipeline_end_to_end(dataset, sd, tmp_path):
+@pytest.mark.parametrize("use_shear_warp", [False, True], ids=["exact", "shearwarp"])
+def test_refinement_pipeline_end_to_end(dataset, sd, tmp_path, use_shear_warp):
     from voxe_tpu.train.refine import refine_edited_relu_field
 
     pretrained = _pretrained_model(dataset)
@@ -138,6 +139,7 @@ def test_refinement_pipeline_end_to_end(dataset, sd, tmp_path):
         top_k_obj_thresh=20,
         sd_model=sd,
         fast_debug_mode=True,
+        use_shear_warp=use_shear_warp,
     )
 
     saved = tmp_path / "refine" / "saved_models"

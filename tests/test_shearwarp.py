@@ -116,6 +116,37 @@ def test_no_gather_scatter_in_training_hlo(grid, rcfg):
     assert not ops, f"gather/scatter leaked into the shear-warp program: {ops}"
 
 
+def test_attn_mode_parity_with_exact_attn_renderer(grid, rcfg):
+    """Shear-warp attn render vs the exact attn renderer along the same rays
+    (black background, grid_query_attn semantics)."""
+    import jax
+
+    from voxe_tpu.render.interface import render_sh_voxel_grid_attn
+
+    key = jax.random.PRNGKey(5)
+    attn = jax.random.uniform(key, (*grid.grid_dims, 1), minval=-8.0, maxval=2.0)
+    agrid = grid.replace(attn=attn)
+    pose = pose_spherical(70.0, 25.0, 4.0)
+    base_hw = (64, 64)
+    out, geom = render_shear_warp(
+        agrid, pose, rcfg, base_hw=base_hw, attn_mode=True, background_value=0.0
+    )
+    exact = render_sh_voxel_grid_attn(
+        agrid,
+        Rays(
+            origins=jnp.broadcast_to(geom.eye, geom.dirs.shape),
+            directions=geom.dirs,
+        ),
+        rcfg,
+    )
+    a = np.asarray(out.colour).reshape(-1)
+    b = np.asarray(exact.colour).reshape(-1)
+    assert np.isfinite(a).all()
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 22.0, f"attn shear-warp vs exact parity too low: {psnr:.2f} dB"
+
+
 def test_bf16_grid_matches_f32(grid, rcfg):
     """gather_dtype=bfloat16 routes the resample einsums through the bf16 MXU
     path (f32 accumulation); the image stays within bf16 quantization of the

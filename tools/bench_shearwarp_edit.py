@@ -29,6 +29,7 @@ def main() -> None:
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--sd_version", type=str, default="2.0")
     p.add_argument("--only", type=str, default="")
+    p.add_argument("--no_remat", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -139,7 +140,7 @@ def main() -> None:
     if "full" in which:
         step = make_sds_train_step_shearwarp(
             sd, render_config, optimizer, (frame, frame),
-            density_correlation_weight=200.0,
+            density_correlation_weight=200.0, remat_sds=not args.no_remat,
         )
         opt_state = optimizer.init(grid)
         ref_d = jnp.copy(grid.densities)

@@ -73,6 +73,7 @@ class StableDiffusion:
         t_sched_gamma: float = 1.0,
         seed: int = 0,
         unet_dtype=jnp.bfloat16,
+        vae_dtype=None,
         init_mode: str = "random",
     ):
         if config is None:
@@ -88,6 +89,13 @@ class StableDiffusion:
         self.t_sched_freq = t_sched_freq
         self.t_sched_gamma = t_sched_gamma
         self.unet_dtype = unet_dtype
+        # VAE compute dtype follows the UNet by default: bf16 on TPU. The
+        # encoder carries SDS gradients, but the injected score w(t)(eps_hat -
+        # eps) is itself high-variance noise — bf16 quantization of its
+        # pullback is far below the signal's own stochasticity. Profiled f32
+        # VAE = the single largest cost of the edit step (512^2 convs,
+        # BENCHMARKS.md round-2 trace).
+        self.vae_dtype = unet_dtype if vae_dtype is None else vae_dtype
 
         self.scheduler = DDIMScheduler(
             self.config.num_train_timesteps,
@@ -122,6 +130,9 @@ class StableDiffusion:
             self.tokenizer = HashTokenizer(self.config.clip.vocab_size)
         self.params["unet"] = jax.tree_util.tree_map(
             lambda x: x.astype(self.unet_dtype), self.params["unet"]
+        )
+        self.params["vae"] = jax.tree_util.tree_map(
+            lambda x: x.astype(self.vae_dtype), self.params["vae"]
         )
         log.info("stable diffusion ready")
 
@@ -186,14 +197,21 @@ class StableDiffusion:
     # SDS core (pure; call inside the caller's jit)
     # ------------------------------------------------------------------
     def encode_imgs(self, vae_params, imgs, key=None):
-        """imgs [B, H, W, 3] in [0, 1] -> scaled latents (sd.py:272-280)."""
-        return self.vae.apply(
-            {"params": vae_params}, 2.0 * imgs - 1.0, key, method=self.vae.encode
-        )
+        """imgs [B, H, W, 3] in [0, 1] -> scaled latents (sd.py:272-280).
+
+        Runs in vae_dtype (input cast in, latents cast back to f32 for the
+        scheduler math); flax promotion would otherwise silently run every
+        conv in f32 whenever the image arrives f32."""
+        x = (2.0 * imgs - 1.0).astype(self.vae_dtype)
+        latents = self.vae.apply({"params": vae_params}, x, key, method=self.vae.encode)
+        return latents.astype(jnp.float32)
 
     def decode_latents(self, vae_params, latents):
-        imgs = self.vae.apply({"params": vae_params}, latents, method=self.vae.decode)
-        return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+        imgs = self.vae.apply(
+            {"params": vae_params}, latents.astype(self.vae_dtype),
+            method=self.vae.decode,
+        )
+        return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
     def unet_noise_pred(self, unet_params, latents_in, t, text_embeddings, capture_attn=False):
         """Classifier-free-guidance UNet call on [2B, h, w, 4] input."""

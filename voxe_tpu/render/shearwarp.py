@@ -90,6 +90,7 @@ def _render_canonical(
     key,
     with_diffuse: bool = False,
     mesh=None,
+    background_value: float = 1.0,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces in canonical coords)."""
@@ -189,7 +190,8 @@ def _render_canonical(
     inside = jnp.transpose(inside, (1, 2, 0)).reshape(U * V, S, 1)
     dens = jnp.where(inside, dens, 0.0)
 
-    sh_coeffs = feats.reshape(U * V, S, NUM_COLOUR_CHANNELS, -1)
+    num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1  # attn path: 1 channel
+    sh_coeffs = feats.reshape(U * V, S, num_channels, -1)
     sh_degree = int(math.isqrt(sh_coeffs.shape[-1])) - 1
     raw_radiance = evaluate_spherical_harmonics(
         degree=sh_degree,
@@ -206,7 +208,7 @@ def _render_canonical(
         rays_c,
         stochastic_density_noise_std=0.0,
         white_bkgd=config.white_bkgd,
-        background_value=1.0,
+        background_value=background_value,
         key=key,
         # the final slice uses the real slab spacing, not the exact
         # renderer's infinite far delta — the volume ends at the far face
@@ -227,7 +229,7 @@ def _render_canonical(
             rays_c,
             stochastic_density_noise_std=0.0,
             white_bkgd=config.white_bkgd,
-            background_value=1.0,
+            background_value=background_value,
             key=key,
             final_delta="slab",
         )
@@ -247,17 +249,34 @@ def render_shear_warp(
     key=None,
     with_diffuse: bool = False,
     mesh=None,
+    attn_mode: bool = False,
+    use_orig_densities: bool = False,
+    background_value: float = 1.0,
 ) -> Tuple[RenderOut, BaseImageGeometry]:
     """Render the base-plane image of `voxel_grid` seen from `pose`.
 
     Returns (RenderOut with [U*V, ...] leaves, BaseImageGeometry). Gradients
     flow to the grid through matmuls only — no gather/scatter.
+
+    `attn_mode` renders the grid's attention channel as the (single) feature
+    — the shear-warp twin of render_sh_voxel_grid_attn (grid_query_attn
+    semantics: voxels.py:221-246); pass background_value=0.0 to composite on
+    black as the reference does (accumulate.py:161-166).
     """
     cfg = voxel_grid.config
     d_pre = ACTIVATIONS[cfg.density_preactivation]
     f_pre = ACTIVATIONS[cfg.feature_preactivation]
-    pre_density = d_pre(voxel_grid.densities * cfg.expected_density_scale)
-    pre_features = f_pre(voxel_grid.features)
+    if attn_mode:
+        assert voxel_grid.attn is not None, "grid has no attn channel"
+        dens_src = voxel_grid.densities
+        if use_orig_densities:
+            assert voxel_grid.orig_densities is not None
+            dens_src = voxel_grid.orig_densities
+        pre_density = d_pre(dens_src * cfg.expected_density_scale)
+        pre_features = f_pre(voxel_grid.attn)
+    else:
+        pre_density = d_pre(voxel_grid.densities * cfg.expected_density_scale)
+        pre_features = f_pre(voxel_grid.features)
     unified = jnp.concatenate([pre_features, pre_density], axis=-1)
     if cfg.gather_dtype == "bfloat16":
         unified = unified.astype(jnp.bfloat16)
@@ -291,6 +310,7 @@ def render_shear_warp(
             out, (eye_o, dirs_c, t_slices, lo2, hi2) = _render_canonical(
                 volp, eye_g, vs, lo3, base_hw, config, cfg, key_,
                 with_diffuse=with_diffuse, mesh=mesh,
+                background_value=background_value,
             )
             # un-permute ray directions back to world axis order (static
             # slices — integer-array indexing would lower to gather/scatter)

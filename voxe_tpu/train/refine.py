@@ -97,9 +97,17 @@ def refine_edited_relu_field(
     fast_debug_mode: bool = False,
     mesh=None,
     num_devices: int = 1,
+    use_shear_warp: bool = False,
 ) -> None:
     """Train edit/object attn grids against SD cross-attention maps, then
-    graph-cut + merge (reference attn_grid_trainer.py:63-627)."""
+    graph-cut + merge (reference attn_grid_trainer.py:63-627).
+
+    `use_shear_warp` runs BOTH renders of the iteration (the no-grad RGB
+    frame that feeds SD's attention extraction AND the differentiable attn
+    renders) on the gather/scatter-free shear-warp path, all in base-plane
+    space: the SD attention maps are defined relative to the RGB frame, so
+    rendering RGB in base space keeps attn targets and attn renders aligned
+    with no warping at all."""
     assert prompt != "none", "you have to supply a text prompt"
     im_h, im_w = image_dims
     if isinstance(edit_idx, int):
@@ -199,6 +207,73 @@ def refine_edited_relu_field(
         )
         return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
 
+    if use_shear_warp:
+        from voxe_tpu.render.shearwarp import render_shear_warp
+
+        @jax.jit
+        def attn_train_step_sw(
+            edit_attn, obj_attn, opt_e, opt_o, rotation, translation,
+            edit_map, obj_map, key,
+        ):
+            k1, k2 = jax.random.split(key)
+            if mesh is not None:
+                from voxe_tpu.parallel.mesh import replicate
+
+                edit_attn = replicate(mesh, edit_attn)
+                obj_attn = replicate(mesh, obj_attn)
+            pose = CameraPose(rotation=rotation, translation=translation)
+
+            def loss_fn(attn, target_map, k):
+                grid = base_grid.replace(attn=attn)
+                out, _ = render_shear_warp(
+                    grid, pose, render_config, base_hw=(im_h, im_w), key=k,
+                    mesh=mesh, attn_mode=True, background_value=0.0,
+                )
+                attn_loss = calc_loss_on_attn_grid(out.colour[..., 0], target_map)
+                tv = tv_loss_on_grid(attn)
+                return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
+
+            (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(edit_attn, edit_map, k1)
+            updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
+            new_edit_attn = optax.apply_updates(edit_attn, updates_e)
+
+            (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(obj_attn, obj_map, k2)
+            updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
+            new_obj_attn = optax.apply_updates(obj_attn, updates_o)
+
+            metrics = dict(
+                attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
+                attn_loss_object=attn_l_o, tv_loss_object=tv_o,
+                total_loss_object=loss_o,
+            )
+            return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
+
+        @jax.jit
+        def rgb_frame_sw(grid, rotation, translation):
+            out, _ = render_shear_warp(
+                grid,
+                CameraPose(rotation=rotation, translation=translation),
+                render_config,
+                base_hw=(im_h, im_w),
+            )
+            return out.colour.reshape(1, im_h, im_w, 3)
+
+        @jax.jit
+        def attn_frame_sw(grid, rotation, translation):
+            out, _ = render_shear_warp(
+                grid,
+                CameraPose(rotation=rotation, translation=translation),
+                render_config,
+                base_hw=(im_h, im_w),
+                attn_mode=True,
+                background_value=0.0,
+            )
+            return out.colour[..., 0].reshape(im_h, im_w)
+
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     if data_pose_mode:
@@ -220,20 +295,20 @@ def refine_edited_relu_field(
             direction = get_dir_batch_from_poses(pose_arr[None])[0]
         else:
             pose, direction, _, _ = get_random_pose(HEMISPHERICAL_RADIUS_CONSTANT, rng)
-        rays = flatten_rays(
-            cast_rays(
-                camera_intrinsics,
-                jnp.asarray(pose.rotation),
-                jnp.asarray(pose.translation),
-            )
-        )
+        rot = jnp.asarray(pose.rotation)
+        trans = jnp.asarray(pose.translation).reshape(3, 1)
+        if use_shear_warp:
+            rays = None
+            pred_rgb = rgb_frame_sw(base_grid.replace(attn=edit_attn), rot, trans)
+        else:
+            rays = flatten_rays(cast_rays(camera_intrinsics, rot, trans))
 
-        # ---- RGB render of the edited grid (no grad; reference :290-295)
-        rgb_model = VolumetricModel(
-            base_grid.replace(attn=edit_attn), render_config
-        )
-        rendered = rgb_model.render(camera_intrinsics, pose)
-        pred_rgb = rendered.colour[None]  # [1, H, W, 3]
+            # ---- RGB render of the edited grid (no grad; reference :290-295)
+            rgb_model = VolumetricModel(
+                base_grid.replace(attn=edit_attn), render_config
+            )
+            rendered = rgb_model.render(camera_intrinsics, pose)
+            pred_rgb = rendered.colour[None]  # [1, H, W, 3]
 
         # ---- SD cross-attention maps (reference :301-329)
         m_prompt = prompt + f", {direction} view"
@@ -260,12 +335,20 @@ def refine_edited_relu_field(
             object_attn_map = gt_maps[object_idx - 1]
 
         # ---- jitted dual attn update (reference :335-378)
-        edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
-            attn_train_step(
-                edit_attn, obj_attn, opt_state_edit, opt_state_object,
-                rays, edit_attn_map, object_attn_map, k_step,
+        if use_shear_warp:
+            edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
+                attn_train_step_sw(
+                    edit_attn, obj_attn, opt_state_edit, opt_state_object,
+                    rot, trans, edit_attn_map, object_attn_map, k_step,
+                )
             )
-        )
+        else:
+            edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
+                attn_train_step(
+                    edit_attn, obj_attn, opt_state_edit, opt_state_object,
+                    rays, edit_attn_map, object_attn_map, k_step,
+                )
+            )
 
         time_training += time.perf_counter() - last_time
         last_iter = global_step == num_iterations
@@ -297,12 +380,20 @@ def refine_edited_relu_field(
             # attn-grid render diagnostics at the current pose (reference
             # refinement_functions.py:42-87): mask / pred / masked-diff per
             # grid + edit-vs-object render difference
-            edit_render = render_sh_voxel_grid_attn(
-                base_grid.replace(attn=edit_attn), rays, render_config
-            ).colour[..., 0].reshape(im_h, im_w)
-            obj_render = render_sh_voxel_grid_attn(
-                base_grid.replace(attn=obj_attn), rays, render_config
-            ).colour[..., 0].reshape(im_h, im_w)
+            if use_shear_warp:
+                edit_render = attn_frame_sw(
+                    base_grid.replace(attn=edit_attn), rot, trans
+                )
+                obj_render = attn_frame_sw(
+                    base_grid.replace(attn=obj_attn), rot, trans
+                )
+            else:
+                edit_render = render_sh_voxel_grid_attn(
+                    base_grid.replace(attn=edit_attn), rays, render_config
+                ).colour[..., 0].reshape(im_h, im_w)
+                obj_render = render_sh_voxel_grid_attn(
+                    base_grid.replace(attn=obj_attn), rays, render_config
+                ).colour[..., 0].reshape(im_h, im_w)
             visualize_attn_render_diagnostics(
                 edit_render, edit_attn_map, "edit", global_step, render_dir
             )
