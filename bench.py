@@ -89,6 +89,9 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
+        # Pallas compositing kernel (exact custom VJP; measured win in
+        # BENCHMARKS.md); VOXE_FUSED_KERNEL=0 for the plain-XLA compositing
+        use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "1") == "1",
     )
     sd = StableDiffusion(sd_version="2.0", init_mode="zeros")
     optimizer = optax.adam(0.03)

@@ -97,3 +97,73 @@ def test_fused_render_path_matches_reference_path(key):
     np.testing.assert_allclose(
         np.asarray(out_fused.depth), np.asarray(out_ref.depth), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_accumulate_padding_matches_unfused():
+    """accumulate(use_fused_kernel=True) pads the sample axis to lane
+    alignment with zero-density samples whose depths realize the requested
+    final-delta semantics; results must match the plain jnp path exactly
+    (here S=160 — the shear-warp slice count — and both delta modes).
+    Interpret mode runs the REAL Pallas kernel on CPU."""
+    from voxe_tpu.render.accumulate import accumulate_radiance_density_on_rays
+    from voxe_tpu.render.rays import Rays
+
+    rng = np.random.default_rng(3)
+    n, s = 48, 160
+    radiance = jnp.asarray(rng.normal(size=(n, s, 3)).astype(np.float32))
+    density = jnp.asarray(rng.uniform(0, 5, (n, s)).astype(np.float32))
+    processed = jnp.concatenate([radiance, density[..., None]], axis=-1)
+    depths = jnp.asarray(
+        np.sort(rng.uniform(2, 6, (n, s)).astype(np.float32), axis=-1)
+    )
+    dirs = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    rays = Rays(jnp.zeros((n, 3)), dirs)
+
+    for mode in ("slab", "inf"):
+        plain = accumulate_radiance_density_on_rays(
+            processed, depths, rays, white_bkgd=True, final_delta=mode
+        )
+        fused = accumulate_radiance_density_on_rays(
+            processed, depths, rays, white_bkgd=True, final_delta=mode,
+            use_fused_kernel=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.colour), np.asarray(fused.colour),
+            rtol=1e-5, atol=1e-5, err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.depth), np.asarray(fused.depth),
+            rtol=1e-4, atol=1e-4, err_msg=mode,
+        )
+
+
+def test_shearwarp_fused_kernel_grads_match():
+    """Shear-warp render with use_fused_kernel: image and grid gradients
+    match the unfused path (custom VJP is exact)."""
+    from voxe_tpu.data.synthetic import make_demo_grid
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.render.shearwarp import render_shear_warp
+    from voxe_tpu.utils.camera import CameraBounds, pose_spherical
+
+    grid = make_demo_grid(res=24)
+    pose = pose_spherical(40.0, 30.0, 4.0)
+
+    def loss(g, fused):
+        cfg = SHVoxGridRenderConfig(
+            num_samples_per_ray=48,
+            camera_bounds=CameraBounds(0.5, 10.0),
+            white_bkgd=True,
+            use_fused_kernel=fused,
+        )
+        out, _ = render_shear_warp(g, pose, cfg, base_hw=(32, 32))
+        return jnp.mean(out.colour ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda g: loss(g, False))(grid)
+    v1, g1 = jax.value_and_grad(lambda g: loss(g, True))(grid)
+    assert abs(float(v0) - float(v1)) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g0.densities), np.asarray(g1.densities), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g0.features), np.asarray(g1.features), rtol=1e-4, atol=1e-6
+    )

@@ -30,6 +30,8 @@ def main() -> None:
     p.add_argument("--sd_version", type=str, default="2.0")
     p.add_argument("--only", type=str, default="")
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="Pallas compositing kernel in the shear-warp render")
     args = p.parse_args()
 
     import jax
@@ -69,7 +71,8 @@ def main() -> None:
         ),
     )
     render_config = SHVoxGridRenderConfig(
-        num_samples_per_ray=256, camera_bounds=CameraBounds(2.0, 6.0), white_bkgd=True
+        num_samples_per_ray=256, camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True, use_fused_kernel=args.fused,
     )
     pose = pose_spherical(30.0, 40.0, 4.0311)
     rot = jnp.asarray(pose.rotation)

@@ -116,11 +116,16 @@ def main() -> None:
     if args.probe == "render_grad":
         opt_state = optimizer.init(grid)
 
+        from voxe_tpu.render.shearwarp import _principal_branch
+
+        sb = int(_principal_branch(-jnp.asarray(pose.rotation)[:, 2]))
+
         @jax.jit
         def step(g, o):
             def loss_fn(g_):
                 out, _ = render_shear_warp(g_, pose, render_config,
-                                           base_hw=(frame, frame))
+                                           base_hw=(frame, frame),
+                                           static_branch=sb)
                 return jnp.mean((out.colour - 0.5) ** 2)
 
             grads = jax.grad(loss_fn)(g)

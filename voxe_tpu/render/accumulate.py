@@ -47,25 +47,25 @@ def accumulate_radiance_density_on_rays(
     extra_debug_info: bool = False,
     key: Optional[jax.Array] = None,
     final_delta: str = "inf",
+    use_fused_kernel: bool = False,
 ) -> RenderOut:
     """Composite per-sample (radiance, density) into per-ray colour/depth.
 
     `background_value` is 1.0 for the RGB path and 0.0 for the attention path
     (reference accumulate.py:77-81 vs :161-166 — the reference duplicates the
     whole function for that one constant).
+
+    `use_fused_kernel` computes the weights through the single-VMEM-pass
+    Pallas kernel (ops/composite.py) — the sequential cumprod chain is this
+    function's dominant device cost (profiled ~7 ms/iter of a 29 ms
+    shear-warp render step, BENCHMARKS.md). The sample axis is padded with
+    zero-density samples to lane alignment; pad depths continue at the slab
+    spacing (realizing final_delta="slab" through the kernel's next-depth
+    difference) or at INFINITY steps (reference "inf" semantics).
     """
     raw_radiance = processed_points[..., :-1]
     raw_density = processed_points[..., -1]
-
-    deltas = depths[..., 1:] - depths[..., :-1]
-    if final_delta == "slab":
-        # bounded last interval (shear-warp: the volume ends at its far face)
-        last = deltas[..., -1:]
-    else:  # "inf": reference semantics — the last sample absorbs the rest
-        last = jnp.full((*deltas.shape[:-1], 1), INFINITY, dtype=deltas.dtype)
-    deltas = jnp.concatenate([deltas, last], axis=-1)  # [N, S]
     dir_norms = jnp.linalg.norm(rays.directions.reshape(-1, 3), axis=-1)
-    deltas = deltas * dir_norms[..., None]
 
     if stochastic_density_noise_std > 0.0:
         assert key is not None, "density noise requires a PRNG key"
@@ -74,18 +74,56 @@ def accumulate_radiance_density_on_rays(
             * stochastic_density_noise_std
         )
 
-    alpha = density2occupancy_pb(raw_density, deltas)  # [N, S]
+    if use_fused_kernel and not extra_debug_info:
+        from voxe_tpu.ops.composite import _LANE, composite_weights
 
-    # exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j)
-    ones = jnp.ones((*alpha.shape[:-1], 1), dtype=alpha.dtype)
-    transmittance = jnp.cumprod(
-        jnp.concatenate([ones, 1.0 - alpha], axis=-1), axis=-1
-    )[..., :-1]
-    weights = alpha * transmittance  # [N, S]
+        S = depths.shape[-1]
+        pad = (-S) % _LANE
+        if final_delta == "slab" and pad == 0:
+            pad = _LANE
+        if pad:
+            last = depths[..., -1:]
+            if final_delta == "slab":
+                spacing = depths[..., -1:] - depths[..., -2:-1]
+            else:
+                spacing = jnp.full_like(last, INFINITY)
+            ks = jnp.arange(1, pad + 1, dtype=depths.dtype)
+            depths_p = jnp.concatenate([depths, last + spacing * ks], axis=-1)
+            dens_p = jnp.concatenate(
+                [
+                    raw_density,
+                    jnp.zeros((*raw_density.shape[:-1], pad), raw_density.dtype),
+                ],
+                axis=-1,
+            )
+        else:
+            depths_p, dens_p = depths, raw_density
+        weights_full, acc = composite_weights(dens_p, depths_p, dir_norms)
+        weights = weights_full[..., :S]
+        acc_render = acc[..., None]
+        deltas = alpha = None  # not materialized on the fused path
+    else:
+        deltas = depths[..., 1:] - depths[..., :-1]
+        if final_delta == "slab":
+            # bounded last interval (shear-warp: volume ends at its far face)
+            last = deltas[..., -1:]
+        else:  # "inf": reference semantics — the last sample absorbs the rest
+            last = jnp.full((*deltas.shape[:-1], 1), INFINITY, dtype=deltas.dtype)
+        deltas = jnp.concatenate([deltas, last], axis=-1)  # [N, S]
+        deltas = deltas * dir_norms[..., None]
+
+        alpha = density2occupancy_pb(raw_density, deltas)  # [N, S]
+
+        # exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j)
+        ones = jnp.ones((*alpha.shape[:-1], 1), dtype=alpha.dtype)
+        transmittance = jnp.cumprod(
+            jnp.concatenate([ones, 1.0 - alpha], axis=-1), axis=-1
+        )[..., :-1]
+        weights = alpha * transmittance  # [N, S]
+        acc_render = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
 
     colour = jax.nn.sigmoid(raw_radiance)  # HDR tone map
     colour_render = jnp.sum(colour * weights[..., None], axis=-2)  # [N, C]
-    acc_render = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
 
     if white_bkgd:
         colour_render = colour_render + (1.0 - acc_render) * background_value

@@ -213,6 +213,7 @@ def _render_canonical(
         # the final slice uses the real slab spacing, not the exact
         # renderer's infinite far delta — the volume ends at the far face
         final_delta="slab",
+        use_fused_kernel=getattr(config, "use_fused_kernel", False),
     )
     if with_diffuse:
         # diffuse regularization render (reference process.py render_diffuse:
@@ -232,6 +233,7 @@ def _render_canonical(
             background_value=background_value,
             key=key,
             final_delta="slab",
+            use_fused_kernel=getattr(config, "use_fused_kernel", False),
         )
         out = RenderOut(
             colour=out.colour,
@@ -252,6 +254,7 @@ def render_shear_warp(
     attn_mode: bool = False,
     use_orig_densities: bool = False,
     background_value: float = 1.0,
+    static_branch: int = None,
 ) -> Tuple[RenderOut, BaseImageGeometry]:
     """Render the base-plane image of `voxel_grid` seen from `pose`.
 
@@ -330,9 +333,18 @@ def render_shear_warp(
         for axis in range(3)
         for positive in (False, True)
     ]
-    out, dirs_w, t_slices, lo2, hi2 = jax.lax.switch(
-        branch, branches, (unified, eye_w, key)
-    )
+    if static_branch is not None:
+        # fixed-pose callers (profiling, single-view tools): skip the
+        # 6-way lax.switch and trace the one branch inline so per-op device
+        # time is visible in profiler timelines
+        out, dirs_w, t_slices, lo2, hi2 = branches[static_branch](
+            (unified, eye_w, key)
+        )
+        branch = jnp.asarray(static_branch, jnp.int32)
+    else:
+        out, dirs_w, t_slices, lo2, hi2 = jax.lax.switch(
+            branch, branches, (unified, eye_w, key)
+        )
     geom = BaseImageGeometry(
         eye=eye_w, dirs=dirs_w, t_slices=t_slices, lo=lo2, hi=hi2,
         perm_index=branch,
