@@ -89,9 +89,12 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
-        # Pallas compositing kernel (exact custom VJP; measured win in
-        # BENCHMARKS.md); VOXE_FUSED_KERNEL=0 for the plain-XLA compositing
-        use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "1") == "1",
+        # VOXE_FUSED_KERNEL=1 routes compositing through the Pallas kernel;
+        # default OFF: the axon relay's AOT compile helper is SIGKILLed
+        # (OOM) compiling the composed program at dog2 shapes (BENCHMARKS.md
+        # "Pallas compositing kernel") — correctness is test-proven, the
+        # win is unmeasurable on this transport
+        use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "0") == "1",
     )
     sd = StableDiffusion(sd_version="2.0", init_mode="zeros")
     optimizer = optax.adam(0.03)
