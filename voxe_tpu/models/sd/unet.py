@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from voxe_tpu.models.sd.config import UNetConfig
-from voxe_tpu.models.sd.norm import GroupNormNHWC
 
 
 def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0):
@@ -45,14 +44,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = GroupNormNHWC(num_groups=self.groups, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
 
         temb_out = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
         h = h + temb_out[:, None, None, :]
 
-        h = GroupNormNHWC(num_groups=self.groups, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
 
@@ -164,7 +163,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context, capture_attn: bool = False, attn_edit_fn=None):
         B, H, W, C = x.shape
         residual = x
-        h = GroupNormNHWC(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
         h = nn.Conv(C, (1, 1), name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         h = BasicTransformerBlock(
@@ -260,6 +259,6 @@ class UNet2DConditionModel(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(C, (3, 3), padding=1, name=f"up_{up_idx}_upsample")(h)
 
-        h = GroupNormNHWC(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
