@@ -62,9 +62,17 @@ def accumulate_radiance_density_on_rays(
     zero-density samples to lane alignment; pad depths continue at the slab
     spacing (realizing final_delta="slab" through the kernel's next-depth
     difference) or at INFINITY steps (reference "inf" semantics).
+
+    `processed_points` may be a `(raw_radiance [N,S,C], raw_density [N,S])`
+    TUPLE instead of one concatenated array: the shear-warp fast path keeps
+    radiance in bf16 while the weights math stays f32 — a concatenated array
+    would silently promote the whole radiance tensor back to f32.
     """
-    raw_radiance = processed_points[..., :-1]
-    raw_density = processed_points[..., -1]
+    if isinstance(processed_points, tuple):
+        raw_radiance, raw_density = processed_points
+    else:
+        raw_radiance = processed_points[..., :-1]
+        raw_density = processed_points[..., -1]
     dir_norms = jnp.linalg.norm(rays.directions.reshape(-1, 3), axis=-1)
 
     if stochastic_density_noise_std > 0.0:
@@ -123,7 +131,14 @@ def accumulate_radiance_density_on_rays(
         acc_render = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
 
     colour = jax.nn.sigmoid(raw_radiance)  # HDR tone map
-    colour_render = jnp.sum(colour * weights[..., None], axis=-2)  # [N, C]
+    # weighted colour reduction as a contraction over samples (f32
+    # accumulation); on the bf16 fast path this stays off the f32 roundtrip
+    colour_render = jnp.einsum(
+        "...s,...sc->...c",
+        weights.astype(colour.dtype),
+        colour,
+        preferred_element_type=jnp.float32,
+    )  # [N, C]
 
     if white_bkgd:
         colour_render = colour_render + (1.0 - acc_render) * background_value

@@ -155,7 +155,11 @@ def _render_canonical(
 
         resampled = shard_axis(mesh, resampled, axis=0)
     C1 = resampled.shape[-1]
-    resampled = resampled.reshape(U * V, S, C1).astype(jnp.float32)
+    # f32 accumulation output from the einsum; the DENSITY channel stays f32
+    # through the weights math, the RADIANCE channels drop back to the volume
+    # dtype (bf16 fast path) — sigmoid/shading/colour-sum at half the HBM
+    # traffic, with the colour reduction f32-accumulated in accumulate.py
+    resampled = resampled.reshape(U * V, S, C1)
 
     # world-space rays through base pixels (canonical a/b/k components)
     w_a, w_b, w_k = voxel_sizes_g[0], voxel_sizes_g[1], voxel_sizes_g[2]
@@ -179,8 +183,8 @@ def _render_canonical(
     cfg = grid_config
     f_post = ACTIVATIONS[cfg.feature_postactivation]
     d_post = ACTIVATIONS[cfg.density_postactivation]
-    feats = f_post(resampled[..., :-1])
-    dens = d_post(resampled[..., -1:])
+    feats = f_post(resampled[..., :-1].astype(dt))
+    dens = d_post(resampled[..., -1])  # [N, S] f32
 
     # outside-AABB masking (process.py:78-85 parity): without it the
     # zero-padded PRE-activation density turns into softplus(0) fog
@@ -188,7 +192,7 @@ def _render_canonical(
     in_b = (src_b >= -0.5) & (src_b <= B - 0.5)  # [S, V]
     inside = in_a[:, :, None] & in_b[:, None, :]  # [S, U, V]
     inside = jnp.transpose(inside, (1, 2, 0)).reshape(U * V, S, 1)
-    dens = jnp.where(inside, dens, 0.0)
+    dens = jnp.where(inside[..., 0], dens, 0.0)
 
     num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1  # attn path: 1 channel
     sh_coeffs = feats.reshape(U * V, S, num_channels, -1)
@@ -196,14 +200,17 @@ def _render_canonical(
     raw_radiance = evaluate_spherical_harmonics(
         degree=sh_degree,
         sh_coeffs=sh_coeffs,
-        viewdirs=jnp.repeat(dirs[:, None, :], S, axis=1),
+        # [N, 1, 3] broadcasts through the SH polynomials — never materialize
+        # the [N, S, 3] repeat
+        viewdirs=dirs[:, None, :],
     )
-    raw_radiance = jnp.where(inside, raw_radiance, -INFINITY)
-    processed = jnp.concatenate([raw_radiance, dens], axis=-1)  # [N, S, C+1]
+    raw_radiance = jnp.where(
+        inside, raw_radiance, jnp.asarray(-INFINITY, raw_radiance.dtype)
+    )
 
     rays_c = Rays(origins=jnp.broadcast_to(eye_w, (U * V, 3)), directions=dirs)
     out = accumulate_radiance_density_on_rays(
-        processed,
+        (raw_radiance, dens),
         t_slices,
         rays_c,
         stochastic_density_noise_std=0.0,
@@ -221,11 +228,13 @@ def _render_canonical(
         diffuse_radiance = evaluate_spherical_harmonics(
             degree=0,
             sh_coeffs=sh_coeffs[..., :1],
-            viewdirs=jnp.repeat(dirs[:, None, :], S, axis=1),
+            viewdirs=dirs[:, None, :],
         )
-        diffuse_radiance = jnp.where(inside, diffuse_radiance, -INFINITY)
+        diffuse_radiance = jnp.where(
+            inside, diffuse_radiance, jnp.asarray(-INFINITY, diffuse_radiance.dtype)
+        )
         out_diff = accumulate_radiance_density_on_rays(
-            jnp.concatenate([diffuse_radiance, dens], axis=-1),
+            (diffuse_radiance, dens),
             t_slices,
             rays_c,
             stochastic_density_noise_std=0.0,
