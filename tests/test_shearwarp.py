@@ -116,6 +116,131 @@ def test_no_gather_scatter_in_training_hlo(grid, rcfg):
     assert not ops, f"gather/scatter leaked into the shear-warp program: {ops}"
 
 
+@pytest.mark.parametrize(
+    "yaw,pitch",
+    [(0.0, 10.0), (90.0, 10.0), (180.0, 10.0), (0.0, 85.0)],
+)
+def test_sh_degree1_parity_across_branches(rcfg, yaw, pitch):
+    """View-dependent (sh_degree 1) radiance must match the exact renderer on
+    EVERY marching branch: SH coefficients are world-frame, so the shear-warp
+    path has to evaluate SH with world-ordered view directions (regression:
+    canonical-permuted components silently corrupted non-z branches)."""
+    import jax
+
+    base = make_demo_grid(res=32)
+    key = jax.random.PRNGKey(9)
+    feats = jnp.concatenate(
+        [base.features, 0.5 * jax.random.normal(key, (32, 32, 32, 9))], axis=-1
+    )  # [.., 12] = 3 channels x 4 coeffs (degree 1)
+    g1 = base.replace(features=feats)
+
+    pose = pose_spherical(yaw, pitch, 4.0)
+    out, geom = render_shear_warp(g1, pose, rcfg, base_hw=(64, 64))
+    exact = render_sh_voxel_grid(
+        g1,
+        Rays(
+            origins=jnp.broadcast_to(geom.eye, geom.dirs.shape),
+            directions=geom.dirs,
+        ),
+        rcfg,
+    )
+    a = np.asarray(out.colour)
+    b = np.asarray(exact.colour)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 22.0, f"deg-1 parity on branch {int(geom.perm_index)}: {psnr:.2f} dB"
+
+
+def test_non_cubic_grid(rcfg):
+    """Non-cubic grids must render on every branch (regression: per-branch
+    t_slices shapes crashed lax.switch for unequal grid dims)."""
+    import dataclasses
+
+    import jax
+
+    from voxe_tpu.grid.voxels import VoxelGrid
+
+    base = make_demo_grid(res=32)
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    cfg = dataclasses.replace(base.config)
+    g = VoxelGrid(
+        densities=jax.random.uniform(k1, (16, 24, 32, 1), minval=-5.0, maxval=5.0),
+        features=jax.random.uniform(k2, (16, 24, 32, 3), minval=-1.0, maxval=1.0),
+        config=cfg,
+    )
+    for yaw, pitch in [(0.0, 10.0), (90.0, 10.0), (0.0, 85.0)]:
+        out, geom = render_shear_warp(
+            g, pose_spherical(yaw, pitch, 4.0), rcfg, base_hw=(32, 32)
+        )
+        img = np.asarray(out.colour)
+        assert np.isfinite(img).all()
+        exact = render_sh_voxel_grid(
+            g,
+            Rays(
+                origins=jnp.broadcast_to(geom.eye, geom.dirs.shape),
+                directions=geom.dirs,
+            ),
+            rcfg,
+        )
+        mse = float(np.mean((img - np.asarray(exact.colour)) ** 2))
+        psnr = -10.0 * np.log10(mse + 1e-12)
+        assert psnr > 20.0, f"non-cubic parity ({yaw},{pitch}): {psnr:.2f} dB"
+
+
+def _blob_row_cols(img):
+    """(green blob centroid, red blob centroid) as (row, col) pairs."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    green = (g > r + 0.05) & (g > b + 0.05)
+    red = (r > g + 0.05) & (r > b + 0.05)
+    assert green.sum() > 30 and red.sum() > 30, (green.sum(), red.sum())
+    rows = np.arange(img.shape[0])[:, None]
+    cols = np.arange(img.shape[1])[None, :]
+
+    def centroid(m):
+        return (
+            float((rows * m).sum() / m.sum()),
+            float((cols * m).sum() / m.sum()),
+        )
+
+    return centroid(green), centroid(red)
+
+
+@pytest.mark.parametrize("yaw,pitch", [(0.0, 15.0), (45.0, 50.0), (90.0, 60.0),
+                                       (180.0, 15.0), (270.0, 70.0)])
+def test_orient_base_image_matches_screen_layout(grid, rcfg, yaw, pitch):
+    """The ORIENTED base frame (what SD consumes) must show the scene's
+    blobs in the same relative arrangement as the exact screen render from
+    the same pose (regression: raw base frames are mirrored/rotated on
+    non-z marching branches)."""
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.shearwarp import orient_base_image
+    from voxe_tpu.utils.camera import CameraIntrinsics
+
+    pose = pose_spherical(yaw, pitch, 4.0)
+    out, _ = render_shear_warp(grid, pose, rcfg, base_hw=(96, 96))
+    base = np.asarray(
+        orient_base_image(
+            out.colour.reshape(96, 96, 3), jnp.asarray(pose.rotation)
+        )
+    )
+    screen = np.asarray(
+        VolumetricModel(grid, rcfg)
+        .render(CameraIntrinsics(96, 96, 96.0), pose)
+        .colour
+    ).reshape(96, 96, 3)
+
+    (g_b, r_b) = _blob_row_cols(base)
+    (g_s, r_s) = _blob_row_cols(screen)
+    # green-to-red displacement must point the same way in both frames
+    dv_b = np.array(r_b) - np.array(g_b)
+    dv_s = np.array(r_s) - np.array(g_s)
+    cos = float(
+        (dv_b @ dv_s) / (np.linalg.norm(dv_b) * np.linalg.norm(dv_s) + 1e-9)
+    )
+    assert cos > 0.7, (yaw, pitch, dv_b, dv_s, cos)
+
+
 def test_attn_mode_parity_with_exact_attn_renderer(grid, rcfg):
     """Shear-warp attn render vs the exact attn renderer along the same rays
     (black background, grid_query_attn semantics)."""

@@ -31,19 +31,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def timed(label: str, fn, iters: int, *, warmup: int = 2) -> float:
     """fn(carry_scalar) -> new carry scalar. Iterations are DEPENDENCY-CHAINED
-    through the scalar so the transport cannot overlap/elide dispatches."""
-    import jax
+    through the scalar so the transport cannot overlap/elide dispatches; the
+    drain is a device->host FETCH — block_until_ready returns early on the
+    axon relay (BENCHMARKS.md "measurement truth")."""
     import jax.numpy as jnp
+    import numpy as np
 
     carry = jnp.zeros(())
     for _ in range(warmup):
         carry = fn(carry)
-    jax.block_until_ready(carry)
+    _ = np.asarray(carry)  # hard barrier
     carry = carry * 0.0
     t0 = time.perf_counter()
     for _ in range(iters):
         carry = fn(carry)
-    jax.block_until_ready(carry)
+    _ = np.asarray(carry)  # hard barrier
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label:>12}: {dt * 1e3:9.2f} ms/iter  ({iters} chained iters)")
     return dt
@@ -60,7 +62,8 @@ def main() -> None:
     p.add_argument(
         "--only", type=str, default="", help="comma list: full,render_only,unet_pair,vae_encode"
     )
-    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat_render", action="store_true",
+               help="jax.checkpoint around the render — the KNOWN-PATHOLOGICAL\n               config (make_sds_train_step docstring); off = production default")
     args = p.parse_args()
 
     import jax
@@ -146,7 +149,7 @@ def main() -> None:
         step = make_sds_train_step(
             sd, render_config, optimizer, (im, im),
             density_correlation_weight=200.0, tv_density_weight=0.1,
-            remat_render=not args.no_remat,
+            remat_render=args.remat_render,
         )
         run_step(step, "full")
 
@@ -166,7 +169,7 @@ def main() -> None:
             sd, render_config, optimizer, (im, im), do_sds=False,
             uncoupled_mode=True, uncoupled_l2_mode=True,
             density_correlation_weight=1.0, tv_density_weight=0.1,
-            remat_render=not args.no_remat,
+            remat_render=args.remat_render,
         )
         run_step(step, "render_grad")
 

@@ -58,8 +58,8 @@ class BaseImageGeometry(NamedTuple):
     """Traced geometry of the base-plane image (all world-space)."""
 
     eye: jnp.ndarray  # [3] camera center
-    dirs: jnp.ndarray  # [U*V, 3] unit ray dir per base pixel
-    t_slices: jnp.ndarray  # [U*V, S] ray depth of every slice crossing
+    dirs: jnp.ndarray  # [U*V, 3] unit ray dir per base pixel (world order)
+    t_slices: None  # internal-only ([N, dims[k]] is branch-dependent)
     lo: jnp.ndarray  # [2] base window lower corner (grid coords, a/b)
     hi: jnp.ndarray  # [2]
     perm_index: jnp.ndarray  # [] int32: which of the 6 marching branches ran
@@ -91,9 +91,16 @@ def _render_canonical(
     with_diffuse: bool = False,
     mesh=None,
     background_value: float = 1.0,
+    axis_order: Tuple[int, int, int] = (0, 1, 2),
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
-    [U*V] base pixels, geometry pieces in canonical coords)."""
+    [U*V] base pixels, geometry pieces; ray directions in WORLD axis order).
+
+    `axis_order` = (a_ax, b_ax, k_ax): which world axis each canonical axis
+    is. Ray directions are un-permuted to world order BEFORE spherical-
+    harmonics evaluation — SH coefficients are world-frame, so evaluating
+    them with canonical-ordered components silently corrupts view-dependent
+    radiance for sh_degree >= 1 on non-z marching branches."""
     S, A, B, _ = vol.shape
     U, V = base_hw
     f = jnp.float32
@@ -174,7 +181,13 @@ def _render_canonical(
     vk = jnp.full((U, V), aabb_lo_g[2] - eye_w[2])
     v = jnp.stack([va, vb, vk], axis=-1).reshape(U * V, 3)  # base-plane offset
     v_norm = jnp.linalg.norm(v, axis=-1)
-    dirs = v / v_norm[:, None]
+    dirs = v / v_norm[:, None]  # canonical (a, b, k) component order
+    # un-permute to world axis order (static slices — integer-array indexing
+    # would lower to gather)
+    inv = [0, 0, 0]
+    for i, ax in enumerate(axis_order):
+        inv[ax] = i
+    dirs = jnp.stack([dirs[:, inv[0]], dirs[:, inv[1]], dirs[:, inv[2]]], axis=1)
 
     # depth of each slice crossing: t_j = |v| * τ_j
     t_slices = v_norm[:, None] * tau[None, :]  # [U*V, S]
@@ -319,21 +332,17 @@ def render_shear_warp(
                 lo3 = lo3.at[2].set(lo3[2] + (dimp[2] - 1.0) * vs[2])
                 vs = vs.at[2].set(-vs[2])
             eye_g = (jnp.stack([eye_w_[a_ax], eye_w_[b_ax], eye_w_[k_ax]]) - lo3) / vs
-            out, (eye_o, dirs_c, t_slices, lo2, hi2) = _render_canonical(
+            out, (eye_o, dirs_w, t_slices, lo2, hi2) = _render_canonical(
                 volp, eye_g, vs, lo3, base_hw, config, cfg, key_,
                 with_diffuse=with_diffuse, mesh=mesh,
                 background_value=background_value,
+                axis_order=(a_ax, b_ax, k_ax),
             )
-            # un-permute ray directions back to world axis order (static
-            # slices — integer-array indexing would lower to gather/scatter)
-            inv = [0, 0, 0]
-            for i, ax in enumerate((a_ax, b_ax, k_ax)):
-                inv[ax] = i
-            dirs_w = jnp.stack(
-                [dirs_c[:, inv[0]], dirs_c[:, inv[1]], dirs_c[:, inv[2]]],
-                axis=1,
-            )
-            return out, dirs_w, t_slices, lo2, hi2
+            # t_slices shape is [N, dims[k_ax]] — branch-DEPENDENT for
+            # non-cubic grids, so it must not cross the lax.switch boundary
+            # (switch requires identical output types); it has no external
+            # consumers (geometry exposes lo/hi/perm only)
+            return out, dirs_w, lo2, hi2
 
         return run
 
@@ -346,19 +355,55 @@ def render_shear_warp(
         # fixed-pose callers (profiling, single-view tools): skip the
         # 6-way lax.switch and trace the one branch inline so per-op device
         # time is visible in profiler timelines
-        out, dirs_w, t_slices, lo2, hi2 = branches[static_branch](
-            (unified, eye_w, key)
-        )
+        out, dirs_w, lo2, hi2 = branches[static_branch]((unified, eye_w, key))
         branch = jnp.asarray(static_branch, jnp.int32)
     else:
-        out, dirs_w, t_slices, lo2, hi2 = jax.lax.switch(
+        out, dirs_w, lo2, hi2 = jax.lax.switch(
             branch, branches, (unified, eye_w, key)
         )
     geom = BaseImageGeometry(
-        eye=eye_w, dirs=dirs_w, t_slices=t_slices, lo=lo2, hi=hi2,
+        eye=eye_w, dirs=dirs_w, t_slices=None, lo=lo2, hi=hi2,
         perm_index=branch,
     )
     return out, geom
+
+
+def orient_base_image(img: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
+    """Orient a base-plane image ([U, V, C] or [U, V]) to the camera's
+    up/right frame with axis-aligned ops only (transpose + flips).
+
+    The base lattice's axes are grid axes (a_ax, b_ax) of the marching
+    branch, so the raw frame can be a mirror image or rotated ~90 deg
+    relative to an upright camera view. SD scores orientation-sensitive
+    content ("front view", asymmetric prompts) — feed it frames whose rows
+    run down the camera's -up and whose columns run along camera right.
+    Square images may transpose; non-square images only flip (the residual
+    90-degree error is impossible to fix shape-preservingly).
+
+    Differentiable (pure permutations); traced rotation; used by the SDS and
+    refinement shear-warp paths on the frames SD consumes and on the attn
+    renders compared against SD's (equally oriented) attention maps.
+    """
+    U, V = img.shape[0], img.shape[1]
+    branch = _principal_branch(-rotation[:, 2])
+    axis = branch // 2
+    perms = jnp.asarray(_PERMS)  # [3, 3]
+    A = jax.nn.one_hot(perms[axis, 0], 3, dtype=rotation.dtype)  # row axis
+    B = jax.nn.one_hot(perms[axis, 1], 3, dtype=rotation.dtype)  # col axis
+    right, up = rotation[:, 0], rotation[:, 1]
+    a_r, b_r = A @ right, B @ right
+    a_u, b_u = A @ up, B @ up
+
+    do_t = jnp.abs(a_r) > jnp.abs(b_r)  # row axis more horizontal: transpose
+    if U == V:
+        img = jnp.where(do_t, jnp.swapaxes(img, 0, 1), img)
+        row_up = jnp.where(do_t, b_u, a_u)
+        col_right = jnp.where(do_t, a_r, b_r)
+    else:
+        row_up, col_right = a_u, b_r
+    img = jnp.where(row_up > 0, img[::-1], img)  # rows must run down (-up)
+    img = jnp.where(col_right < 0, img[:, ::-1], img)
+    return img
 
 
 def compute_base_geometry(

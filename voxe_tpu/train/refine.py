@@ -208,7 +208,7 @@ def refine_edited_relu_field(
         return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
 
     if use_shear_warp:
-        from voxe_tpu.render.shearwarp import render_shear_warp
+        from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
         @jax.jit
         def attn_train_step_sw(
@@ -229,7 +229,12 @@ def refine_edited_relu_field(
                     grid, pose, render_config, base_hw=(im_h, im_w), key=k,
                     mesh=mesh, attn_mode=True, background_value=0.0,
                 )
-                attn_loss = calc_loss_on_attn_grid(out.colour[..., 0], target_map)
+                # SD's maps are in the ORIENTED frame (rgb_frame_sw below);
+                # orient the attn render identically before the masked L1
+                attn_render = orient_base_image(
+                    out.colour[..., 0].reshape(im_h, im_w), rotation
+                )
+                attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
                 tv = tv_loss_on_grid(attn)
                 return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
 
@@ -260,7 +265,9 @@ def refine_edited_relu_field(
                 render_config,
                 base_hw=(im_h, im_w),
             )
-            return out.colour.reshape(1, im_h, im_w, 3)
+            return orient_base_image(
+                out.colour.reshape(im_h, im_w, 3), rotation
+            )[None]
 
         @jax.jit
         def attn_frame_sw(grid, rotation, translation):
@@ -272,7 +279,9 @@ def refine_edited_relu_field(
                 attn_mode=True,
                 background_value=0.0,
             )
-            return out.colour[..., 0].reshape(im_h, im_w)
+            return orient_base_image(
+                out.colour[..., 0].reshape(im_h, im_w), rotation
+            )
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)

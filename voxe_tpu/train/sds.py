@@ -220,7 +220,7 @@ def make_sds_train_step_shearwarp(
                     ref_densities, ref_features, key, t)
                -> (grid, opt_state, metrics)
     """
-    from voxe_tpu.render.shearwarp import render_shear_warp
+    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
     base_hw = tuple(base_hw)
 
@@ -243,7 +243,10 @@ def make_sds_train_step_shearwarp(
             metrics = {}
 
             if do_sds:
-                imgs = out.colour.reshape(1, *base_hw, 3)
+                # upright frame for SD (rows down camera -up, cols right)
+                imgs = orient_base_image(
+                    out.colour.reshape(*base_hw, 3), rotation
+                )[None]
 
                 def sds_fn(imgs_):
                     return sd.sds_loss(
@@ -351,14 +354,19 @@ def make_sds_train_multi_step(
 
         def loss_fn(g):
             if use_shear_warp:
-                from voxe_tpu.render.shearwarp import render_shear_warp
+                from voxe_tpu.render.shearwarp import (
+                    orient_base_image,
+                    render_shear_warp,
+                )
                 from voxe_tpu.utils.camera import CameraPose
 
                 out, _ = render_shear_warp(
                     g, CameraPose(rotation, translation.reshape(3, 1)),
                     render_config, base_hw=(im_h, im_w), key=k_render, mesh=mesh,
                 )
-                colours = out.colour
+                colours = orient_base_image(
+                    out.colour.reshape(im_h, im_w, 3), rotation
+                )
             else:
                 # remat: don't hold the render's per-sample activations across
                 # the SDS half (see make_sds_train_step's remat_render note)
