@@ -25,6 +25,11 @@ def main() -> None:
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--out", type=str, default="/tmp/voxe_quality_sw")
     p.add_argument("--cpu", action="store_true", help="force everything on CPU")
+    p.add_argument("--base", type=int, default=None,
+                   help="shear-warp base lattice res (default: stage image res)")
+    p.add_argument("--exact", action="store_true",
+                   help="CONTROL: train on the exact per-sample renderer "
+                   "with the same budget instead of shear-warp")
     args = p.parse_args()
 
     import os
@@ -99,7 +104,8 @@ def main() -> None:
         feedback_freq=100_000,
         summary_freq=50,
         fast_debug_mode=True,
-        use_shear_warp=True,
+        use_shear_warp=not args.exact,
+        shear_warp_base_res=args.base,
         coarse_stages_on_cpu=not args.cpu,
     )
     wall = time.time() - t0

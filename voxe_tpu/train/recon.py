@@ -608,7 +608,12 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 if steps_per_call > 1:
                     log.warning("shear-warp path dispatches per step; steps_per_call=1")
                     steps_per_call = 1
-                base_res = shear_warp_base_res or max(
+                # default base lattice = 2x the stage image res: the window
+                # spans the whole grid diagonal, so the object's effective
+                # sampling density is lower than in a screen frame; 2x
+                # restores it (measured +6.1 dB held-out at 160^3, matching
+                # the exact renderer to 0.3 dB — BENCHMARKS.md "Quality")
+                base_res = shear_warp_base_res or 2 * max(
                     stage_dataset.camera_intrinsics.height,
                     stage_dataset.camera_intrinsics.width,
                 )
