@@ -11,7 +11,7 @@
 # Weights-dir layout (produced by tools/import + HF snapshot):
 #   text_encoder/*.safetensors  vae/*.safetensors  unet/*.safetensors
 #   tokenizer/vocab.json + merges.txt
-# Validate first: python tools/validate_sd_weights.py -w $SD_WEIGHTS_DIR
+# Validate first: python tools/validate_sd_weights.py -d $SD_WEIGHTS_DIR
 #
 # Pipeline (reference bash_scripts/edit_demo_global.sh + calculate_metrics):
 #   1. reconstruct dog2 (skipped if a recon checkpoint already exists)

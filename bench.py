@@ -43,7 +43,10 @@ REFERENCE_EDIT_MS_PER_ITER = 375.0
 REFERENCE_RAYS_PER_SEC_EST = 0.33e6
 
 
-def _make_grid(res: int = 160):
+def make_dog2_grid(res: int = 160):
+    """The canonical benchmark grid (dog2 working set): softplus field, bf16
+    gather table, reference expected-density scale. Shared by the bisection/
+    trace/edit-loop tools — change it HERE only."""
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -84,7 +87,7 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
     )
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
 
-    grid = _make_grid(160)
+    grid = make_dog2_grid(160)
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
@@ -165,7 +168,7 @@ def bench_recon(use_shearwarp: bool, iters: int, frame: int) -> dict:
     )
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
 
-    grid = _make_grid(160)
+    grid = make_dog2_grid(160)
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),

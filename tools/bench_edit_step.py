@@ -75,33 +75,17 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
-    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
     from voxe_tpu.models.sd import StableDiffusion
     from voxe_tpu.render.interface import SHVoxGridRenderConfig
     from voxe_tpu.render.rays import cast_rays, flatten_rays
     from voxe_tpu.train.sds import make_sds_train_step
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics
-    from voxe_tpu.utils.misc import (
-        compute_expected_density_scale_for_relu_field_grid,
-    )
 
     print(f"devices: {jax.devices()}")
     res, im, samples = args.grid, args.image, args.samples
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    grid = VoxelGrid(
-        densities=jax.random.uniform(k1, (res, res, res, 1), minval=-1.0, maxval=1.0),
-        features=jax.random.uniform(k2, (res, res, res, 3), minval=-1.0, maxval=1.0),
-        config=VoxelGridConfig(
-            voxel_size=VoxelSize(*[3.0 / res] * 3),
-            density_preactivation="identity",
-            density_postactivation="softplus",
-            gather_dtype="bfloat16",
-            expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
-                (3.0, 3.0, 3.0)
-            ),
-        ),
-    )
+    from bench import make_dog2_grid
+
+    grid = make_dog2_grid(res)
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=samples,
         camera_bounds=CameraBounds(2.0, 6.0),

@@ -26,7 +26,7 @@ def main() -> None:
     p.add_argument("--out", type=str, default="/tmp/voxe_quality_sw")
     p.add_argument("--cpu", action="store_true", help="force everything on CPU")
     p.add_argument("--base", type=int, default=None,
-                   help="shear-warp base lattice res (default: stage image res)")
+                   help="shear-warp base lattice res (default: 2x stage image res)")
     p.add_argument("--exact", action="store_true",
                    help="CONTROL: train on the exact per-sample renderer "
                    "with the same budget instead of shear-warp")

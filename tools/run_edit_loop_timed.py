@@ -40,7 +40,6 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig, VoxelSize
     from voxe_tpu.models.sd import StableDiffusion
     from voxe_tpu.models.sd.sds import DIRECTION_PROMPTS
     from voxe_tpu.render.interface import SHVoxGridRenderConfig
@@ -49,26 +48,12 @@ def main() -> None:
         make_sds_train_step_shearwarp,
     )
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, get_random_pose
-    from voxe_tpu.utils.misc import (
-        compute_expected_density_scale_for_relu_field_grid,
-    )
 
     print(f"devices: {jax.devices()}")
     res, frame = args.grid, args.frame
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    grid = VoxelGrid(
-        densities=jax.random.uniform(k1, (res, res, res, 1), minval=-1.0, maxval=1.0),
-        features=jax.random.uniform(k2, (res, res, res, 3), minval=-1.0, maxval=1.0),
-        config=VoxelGridConfig(
-            voxel_size=VoxelSize(*[3.0 / res] * 3),
-            density_preactivation="identity",
-            density_postactivation="softplus",
-            gather_dtype="bfloat16",
-            expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
-                (3.0, 3.0, 3.0)
-            ),
-        ),
-    )
+    from bench import make_dog2_grid
+
+    grid = make_dog2_grid(res)
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=256, camera_bounds=CameraBounds(2.0, 6.0), white_bkgd=True
     )

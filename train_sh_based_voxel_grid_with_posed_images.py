@@ -133,7 +133,9 @@ from voxe_tpu.utils.misc import (
               "plane once per stage)", show_default=True)
 @click.option("--shear_warp_base_res", type=click.INT, required=False, default=None,
               help="base-plane lattice resolution for --use_shear_warp "
-              "(default: the stage image resolution)", show_default=True)
+              "(default: 2x the stage image resolution — the window spans "
+              "the whole grid, 2x restores the object's sampling density)",
+              show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)

@@ -72,6 +72,11 @@ class PosedImagesDataset:
         self._downsample_factor = downsample_factor
         self._rgba_white_bkgd = rgba_white_bkgd
         self._cache_on_device = cache_on_device
+        # keep the REQUESTED memory policy (not the resolved one) so
+        # get_config_dict rebuilds — e.g. the recon trainer's stagewise
+        # downsampled datasets — under the same budget
+        self._requested_cache_backing = cache_backing
+        self._max_ram_gib = max_ram_gib
 
         with open(camera_params_json) as f:
             self._camera_parameters: Dict[str, Any] = json.load(f)
@@ -232,6 +237,10 @@ class PosedImagesDataset:
             "normalize_scene_scale": self._normalize_scene_scale_bool,
             "downsample_factor": self._downsample_factor,
             "rgba_white_bkgd": self._rgba_white_bkgd,
+            "directional": self.directional,
+            "cache_on_device": self._cache_on_device,
+            "cache_backing": self._requested_cache_backing,
+            "max_ram_gib": self._max_ram_gib,
         }
 
     @staticmethod

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Sequence
 
+import matplotlib
 import numpy as np
 
 from voxe_tpu.utils.camera import (
@@ -91,7 +92,7 @@ def render_camera_path_for_volumetric_model_attn(
         )
         rgb = np.asarray(out_rgb.colour)
         attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
-        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        attn_col = matplotlib.colormaps["jet"](attn)[..., :3]
         frames.append(np.concatenate([to8b(rgb), to8b(attn_col)], axis=1))
     return np.stack(frames)
 
@@ -125,7 +126,7 @@ def render_camera_path_for_volumetric_model_attn_only(
             **overrides,
         )
         attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
-        frames.append(to8b(plt.get_cmap("jet")(attn)[..., :3]))
+        frames.append(to8b(matplotlib.colormaps["jet"](attn)[..., :3]))
     return np.stack(frames)
 
 
@@ -168,7 +169,7 @@ def render_camera_path_for_volumetric_model_gt_attn_maps(
             indices_to_fetch=[token_index],
         )
         attn = np.asarray(normalize_attn_map(maps[0]))
-        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        attn_col = matplotlib.colormaps["jet"](attn)[..., :3]
         frames.append(np.concatenate([to8b(rgb), to8b(attn_col)], axis=1))
     return np.stack(frames)
 
@@ -207,7 +208,7 @@ def render_camera_path_for_volumetric_model_attn_blend(
         rgb = np.asarray(out_rgb.colour)
         acc = np.asarray(out_attn.extra[EXTRA_ACCUMULATED_WEIGHTS])
         attn = np.clip(np.asarray(out_attn.colour)[..., 0], 0.0, 1.0)
-        attn_col = plt.get_cmap("jet")(attn)[..., :3]
+        attn_col = matplotlib.colormaps["jet"](attn)[..., :3]
         blend = (1.0 - blend_alpha) * rgb + blend_alpha * attn_col * acc
         frames.append(to8b(blend))
     return np.stack(frames)

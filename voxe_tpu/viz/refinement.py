@@ -15,18 +15,19 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import matplotlib
 import numpy as np
 
 
 def _jet_png(arr: np.ndarray, path: Path, vmin=None, vmax=None) -> None:
     import imageio.v2 as imageio
-    from matplotlib import cm, colors
+    from matplotlib import colors
 
     arr = np.asarray(arr, dtype=np.float32)
     vmin = float(arr.min()) if vmin is None else vmin
     vmax = float(arr.max()) if vmax is None else vmax
     norm = colors.Normalize(vmin=vmin, vmax=vmax)
-    frame = cm.get_cmap("jet")(norm(arr))[..., :3]
+    frame = matplotlib.colormaps["jet"](norm(arr))[..., :3]
     imageio.imwrite(path, (frame * 255).astype(np.uint8))
 
 

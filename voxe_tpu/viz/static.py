@@ -7,6 +7,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
+import matplotlib
 import numpy as np
 
 from voxe_tpu.utils.camera import (
@@ -40,7 +41,7 @@ def postprocess_depth_map(
         depth_map, (depth_min, depth_max if depth_max > depth_min else depth_min + 1e-6),
         (0, 1), slack=True,
     )
-    coloured = plt.get_cmap("magma", lut=1024)(depth_map)[..., :3]
+    coloured = matplotlib.colormaps["magma"].resampled(1024)(depth_map)[..., :3]
 
     if acc_map is not None:
         nr = coloured * acc_map + (1.0 - acc_map) ** 2
@@ -56,7 +57,6 @@ def visualize_camera_rays(
 ) -> None:
     """3D matplotlib scatter of camera origins + one ray per image
     (reference static.py:31-81). Written to camera_rays.png."""
-    import matplotlib
 
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
@@ -148,7 +148,7 @@ def visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
     rgb = np.asarray(out_rgb.colour)
     attn = np.asarray(out_attn.colour)[..., 0]
 
-    attn_col = plt.get_cmap("jet")(np.clip(attn, 0, 1))[..., :3]
+    attn_col = matplotlib.colormaps["jet"](np.clip(attn, 0, 1))[..., :3]
     blend = 0.55 * rgb + 0.45 * attn_col
     panel = np.concatenate([to8b(rgb), to8b(attn_col), to8b(blend)], axis=1)
 
