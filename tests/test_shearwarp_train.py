@@ -227,6 +227,60 @@ def test_trainer_end_to_end_shearwarp(tmp_path):
     assert metrics["psnr"] > 25.0, metrics
 
 
+def test_non_square_images_and_base(rcfg):
+    """H != W screen images warp and train through the shear-warp recon step,
+    and orient_base_image handles non-square frames (flips only — the
+    90-degree residual cannot be fixed shape-preservingly)."""
+    from voxe_tpu.render.shearwarp import orient_base_image
+
+    intr = CameraIntrinsics(40, 56, 48.0)
+    model = VolumetricModel(make_demo_grid(res=RES), rcfg)
+    rng = np.random.default_rng(3)
+    poses_list, images = [], []
+    for _ in range(4):
+        pose = pose_spherical(
+            float(rng.random() * 360.0), 15.0 + float(rng.random() * 70.0), 4.031
+        )
+        out = model.render(intr, pose)
+        images.append(np.asarray(out.colour).reshape(40, 56, 3))
+        poses_list.append(
+            np.concatenate(
+                [np.asarray(pose.rotation), np.asarray(pose.translation).reshape(3, 1)],
+                axis=1,
+            )
+        )
+    images = jnp.asarray(np.stack(images))
+    poses = jnp.asarray(np.stack(poses_list))
+
+    key = jax.random.PRNGKey(4)
+    grid = _fresh_grid(key)
+    base_hw = (48, 64)  # non-square base lattice
+    targets, masks = warp_dataset_to_base(images, poses, intr, grid, base_hw)
+    assert targets.shape == (4, 48, 64, 3)
+    assert float(masks.mean()) > 0.3
+
+    opt = optax.adam(0.03)
+    opt_state = opt.init(grid)
+    step = make_recon_train_step_shearwarp(rcfg, opt, base_hw)
+    for i in range(5):
+        key, sk = jax.random.split(key)
+        grid, opt_state, metrics = step(
+            grid, opt_state, targets, masks, poses, jnp.asarray(i % 4), sk
+        )
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # non-square orientation: flips only, output shape preserved, finite
+    from voxe_tpu.render.shearwarp import render_shear_warp
+
+    pose = pose_spherical(120.0, 30.0, 4.031)
+    out, _ = render_shear_warp(grid, pose, rcfg, base_hw=base_hw)
+    oriented = orient_base_image(
+        out.colour.reshape(*base_hw, 3), jnp.asarray(pose.rotation)
+    )
+    assert oriented.shape == (*base_hw, 3)
+    assert np.isfinite(np.asarray(oriented)).all()
+
+
 def test_sds_shearwarp_step(rcfg):
     """Tiny-SD SDS edit step on the shear-warp path: finite losses, grid
     actually moves, DCL anchors to the reference densities."""
