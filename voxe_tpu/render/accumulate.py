@@ -120,15 +120,28 @@ def accumulate_radiance_density_on_rays(
         deltas = jnp.concatenate([deltas, last], axis=-1)  # [N, S]
         deltas = deltas * dir_norms[..., None]
 
-        alpha = density2occupancy_pb(raw_density, deltas)  # [N, S]
+        if extra_debug_info:
+            alpha = density2occupancy_pb(raw_density, deltas)  # [N, S]
 
-        # exclusive cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j)
-        ones = jnp.ones((*alpha.shape[:-1], 1), dtype=alpha.dtype)
-        transmittance = jnp.cumprod(
-            jnp.concatenate([ones, 1.0 - alpha], axis=-1), axis=-1
-        )[..., :-1]
-        weights = alpha * transmittance  # [N, S]
-        acc_render = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
+            # exclusive cumulative transmittance: T_i = prod_{j<i} (1-alpha_j)
+            ones = jnp.ones((*alpha.shape[:-1], 1), dtype=alpha.dtype)
+            transmittance = jnp.cumprod(
+                jnp.concatenate([ones, 1.0 - alpha], axis=-1), axis=-1
+            )[..., :-1]
+            weights = alpha * transmittance  # [N, S]
+            acc_render = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
+        else:
+            # identical math, fewer passes: since alpha := 1 - exp(-sigma d),
+            # prod_{j<i}(1-alpha_j) = exp(-sum_{j<i} sigma_j d_j), so
+            # w_i = alpha_i T_i = T_i - T_{i+1} — one cumsum + one exp + one
+            # difference, and acc = 1 - T_last with no reduction at all
+            optical = jnp.cumsum(raw_density * deltas, axis=-1)  # inclusive
+            t_incl = jnp.exp(-optical)
+            ones = jnp.ones((*t_incl.shape[:-1], 1), dtype=t_incl.dtype)
+            t_excl = jnp.concatenate([ones, t_incl[..., :-1]], axis=-1)
+            weights = t_excl - t_incl  # [N, S]
+            acc_render = 1.0 - t_incl[..., -1:]  # [N, 1]
+            alpha = None
 
     colour = jax.nn.sigmoid(raw_radiance)  # HDR tone map
     # weighted colour reduction as a contraction over samples (f32
