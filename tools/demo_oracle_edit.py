@@ -9,18 +9,29 @@ geometry-preserving edit. Writes before/after turntable frames and a
 side-by-side PNG into docs/demo_oracle/.
 
 Run (CPU, ~2 min):  VOXE_PLATFORM=cpu python tools/demo_oracle_edit.py
+Production scale (TPU): python tools/demo_oracle_edit.py --res 160 --base 256 \
+    --out docs/demo_oracle_160
 """
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path(__file__).resolve().parent.parent / "docs" / "demo_oracle"
-
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=32)
+    ap.add_argument("--base", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--eval_size", type=int, default=128)
+    ap.add_argument("--out", type=str,
+                    default=str(Path(__file__).resolve().parent.parent
+                                / "docs" / "demo_oracle"))
+    args = ap.parse_args()
+    OUT = Path(args.out)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +49,7 @@ def main() -> None:
     import imageio.v2 as imageio
 
     OUT.mkdir(parents=True, exist_ok=True)
-    grid = make_demo_grid(res=32)
+    grid = make_demo_grid(res=args.res)
     rcfg = SHVoxGridRenderConfig(
         num_samples_per_ray=96,
         camera_bounds=CameraBounds(0.5, 10.0),
@@ -47,7 +58,7 @@ def main() -> None:
         render_num_samples_per_ray=128,
         parallel_rays_chunk_size=16384,
     )
-    intr = CameraIntrinsics(128, 128, 128.0)
+    intr = CameraIntrinsics(args.eval_size, args.eval_size, float(args.eval_size))
     target = (0.95, 0.75, 0.1)  # "make it golden"
 
     class MaskedOracle(OracleSDS):
@@ -75,7 +86,7 @@ def main() -> None:
     optimizer = optax.adam(0.05)
     opt_state = optimizer.init(grid)
     step = make_sds_train_step_shearwarp(
-        oracle, rcfg, optimizer, (64, 64), density_correlation_weight=5.0,
+        oracle, rcfg, optimizer, (args.base, args.base), density_correlation_weight=5.0,
     )
     ref_d = jnp.copy(grid.densities)
     ref_f = jnp.copy(grid.features)
@@ -87,7 +98,7 @@ def main() -> None:
     before = frame(grid, 40.0)
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
-    for i in range(300):
+    for i in range(args.iters):
         key, k_t, k_step = jax.random.split(key, 3)
         pose = pose_spherical(
             float(rng.random() * 360.0), 15.0 + float(rng.random() * 60.0), 4.031
