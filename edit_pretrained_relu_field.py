@@ -174,9 +174,15 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices for the "
               "SDS and refinement stages (1-D jax.sharding.Mesh)", show_default=True)
-@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=True,
               help="route the SDS render through the gather/scatter-free "
-              "shear-warp fast path (random-pose global edits)", show_default=True)
+              "shear-warp fast path (all pose modes; ~200x the exact path's "
+              "TPU step rate). False = exact per-sample renderer",
+              show_default=True)
+@click.option("--shear_warp_base_res", type=click.INT, required=False, default=None,
+              help="side of the square shear-warp base frame fed to SD "
+              "(default: max(image_dims)); raise to supersample the object",
+              show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -265,6 +271,7 @@ def main(**kwargs) -> None:
         steps_per_call=config.steps_per_call,
         mesh=edit_mesh,
         use_shear_warp=config.use_shear_warp,
+        shear_warp_base_res=config.shear_warp_base_res,
     )
 
     if config.do_refinement:

@@ -54,6 +54,31 @@ def report(logdir: Path, top: int = 25) -> None:
     for name, dur in sorted(dur_by_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {dur / 1e3:9.2f} ms  x{count_by_op[name]:<4d} {name[:110]}")
 
+    # aggregate the same events by source line and by hlo_category (the
+    # perfetto args carry both) — this is what actually names the costs
+    dur_by_src = defaultdict(float)
+    dur_by_cat = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        a = e.get("args") or {}
+        if not a.get("hlo_category") and not a.get("source"):
+            continue
+        dur = float(e.get("dur", 0.0))
+        src = a.get("source", "?")
+        dur_by_src[src] += dur
+        dur_by_cat[a.get("hlo_category", "?")] += dur
+    if dur_by_src:
+        print("\nby hlo_category:")
+        for name, dur in sorted(dur_by_cat.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"  {dur / 1e3:9.2f} ms  {name}")
+        print("\nby source line:")
+        for name, dur in sorted(dur_by_src.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {dur / 1e3:9.2f} ms  {name}")
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

@@ -17,12 +17,33 @@ cross_attn.py:57-124). Key TPU-native differences:
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from voxe_tpu.models.sd.config import UNetConfig
+
+
+def _flash_self_attention_enabled(q_len: int, head_dim: int) -> bool:
+    """Opt-in Pallas TPU flash-attention for LONG self-attention
+    (VOXE_FLASH_ATTN=1).
+
+    Default OFF — measured negative result (r3, v5e): the stock Pallas flash
+    kernel is 13 ms/iter SLOWER than XLA's attention inside the SDS step
+    (56.6 vs 43.8 ms sd_half, interleaved A/B) at the UNet's 64^2 level
+    ([2, 5, 4096, 64]: batchxheads=10 underfills the kernel grid and XLA's
+    probs-materializing lowering overlaps well with the surrounding convs).
+    Kept as a switch for future shapes/toolchains; forward-only is all the
+    SDS path needs (the UNet runs under stop_gradient, sds.py:250).
+    """
+    if os.environ.get("VOXE_FLASH_ATTN", "0") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return q_len >= 2048 and head_dim in (64, 128)
 
 
 def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0):
@@ -91,11 +112,24 @@ class CrossAttention(nn.Module):
 
         needs_probs = attn_edit_fn is not None or (capture_attn and self.capture)
         if not needs_probs:
-            # fast path: fused scaled-dot-product attention (XLA picks the
-            # best TPU lowering; no [B, h, Q, K] probs materialized in HBM).
-            # q/k/v can arrive in mixed precision (f32 norms x bf16 kernels);
-            # SDPA requires a uniform dtype
+            # fast path. q/k/v can arrive in mixed precision (f32 norms x
+            # bf16 kernels); both lowerings require a uniform dtype
             dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
+            if not is_cross and _flash_self_attention_enabled(
+                q.shape[-2], head_dim
+            ):
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    flash_attention,
+                )
+
+                out = flash_attention(
+                    q.astype(dt), k.astype(dt), v.astype(dt),
+                    sm_scale=1.0 / float(np.sqrt(head_dim)),
+                )  # [B, h, Q, D]
+                out = out.swapaxes(-3, -2).reshape(*hidden.shape[:-1], C)
+                return nn.Dense(C, name="to_out_0")(out)
+            # XLA scaled-dot-product attention (no flash on TPU: materializes
+            # the [B, h, Q, K] probs — fine for cross-attn's K=77 and short Q)
             out = jax.nn.dot_product_attention(
                 q.swapaxes(-3, -2).astype(dt),
                 k.swapaxes(-3, -2).astype(dt),

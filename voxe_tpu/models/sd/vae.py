@@ -70,10 +70,13 @@ class Encoder(nn.Module):
                     name=f"down_{level}_resnet_{block}",
                 )(h)
             if level != len(cfg.block_out_channels) - 1:
-                # torch asymmetric pad (0,1,0,1) + stride-2 valid conv
-                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                # torch asymmetric pad (0,1,0,1) + stride-2 valid conv,
+                # expressed as the conv's own asymmetric padding so XLA never
+                # materializes the padded [B, H+1, W+1, C] activation (67 MB
+                # at 512^2x128 — was a measured slice of the 8 ms/iter of pad
+                # ops in the r2 SD-half trace)
                 h = nn.Conv(
-                    channels, (3, 3), strides=2, padding="VALID",
+                    channels, (3, 3), strides=2, padding=((0, 1), (0, 1)),
                     name=f"down_{level}_downsample",
                 )(h)
 

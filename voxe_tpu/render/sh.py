@@ -57,6 +57,10 @@ def evaluate_spherical_harmonics(
 
     result = C0 * sh_coeffs[..., 0]
     if degree > 0:
+        # match the coefficient dtype: f32 viewdirs x bf16 coeffs would
+        # silently promote the whole radiance result to f32, defeating the
+        # bf16 radiance fast path for sh_degree >= 1 (ADVICE.md r2)
+        viewdirs = viewdirs.astype(sh_coeffs.dtype)
         x, y, z = viewdirs[..., 0:1], viewdirs[..., 1:2], viewdirs[..., 2:3]
         result = (
             result

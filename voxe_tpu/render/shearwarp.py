@@ -46,7 +46,13 @@ from voxe_tpu.render.interface import RenderOut
 from voxe_tpu.render.rays import Rays
 from voxe_tpu.render.sh import evaluate_spherical_harmonics
 from voxe_tpu.utils.camera import CameraIntrinsics, CameraPose
-from voxe_tpu.utils.constants import INFINITY, NUM_COLOUR_CHANNELS
+from voxe_tpu.utils.constants import (
+    EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_DISPARITY,
+    INFINITY,
+    NUM_COLOUR_CHANNELS,
+    ZERO_PLUS,
+)
 
 # the 6 (axis, direction) marching permutations: each maps world axes
 # (0, 1, 2) -> (a, b, k) with k the marching axis; flips make marching go
@@ -79,6 +85,157 @@ def _interp_matrices(src: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - p))
 
 
+def _streamed_composite(
+    vol: jnp.ndarray,  # [S, A, B, C+1] pre-activated (features..., density)
+    Wa: jnp.ndarray,  # [S, U, A] f32 hat weights
+    Wb: jnp.ndarray,  # [S, V, B]
+    t_slices: jnp.ndarray,  # [N, S] depth of each slice crossing
+    dirs: jnp.ndarray,  # [N, 3] unit ray dirs (world order)
+    inside_ns: jnp.ndarray,  # [N, S] bool in-volume mask
+    grid_config,
+    white_bkgd: bool,
+    background_value: float,
+    with_diffuse: bool,
+    mesh,
+    slice_block: int = 32,
+):
+    """Slice-streamed resample + composite: the [N, S, C] radiance tensor is
+    never materialized in HBM.
+
+    The monolithic formulation resamples ALL slices into a [U*V, S, C+1]
+    tensor (512 MB f32 at dog2 shapes) that round-trips HBM through shading,
+    compositing, and again in the backward — the dominant cost of the render
+    half (BENCHMARKS.md r2 bisection; VERDICT r2 next-1a). Streamed version:
+
+      pass 1  resample the DENSITY channel only ([N, S] — 16x smaller),
+              compute the compositing weights via the exp(-cumsum) identity
+              (accumulate.py:133-143).
+      pass 2  accumulate colour block-by-block over slices; each block's
+              resample+shade+weighted-sum is wrapped in jax.checkpoint so the
+              backward RECOMPUTES the block resample (cheap MXU matmuls)
+              instead of saving [N, S, C] residuals.
+
+    Numerics match the monolithic path exactly: same einsum dtypes/accumulation,
+    same weights math. The radiance -INFINITY outside-mask is skipped — the
+    masked density already forces w_s = 0 exactly on those samples, so the
+    masked radiance is multiplied by literal zero either way.
+    """
+    S, A, B, C1 = vol.shape
+    _, U, _ = Wa.shape
+    V = Wb.shape[1]
+    N = U * V
+    dt = vol.dtype
+    f_post = ACTIVATIONS[grid_config.feature_postactivation]
+    d_post = ACTIVATIONS[grid_config.density_postactivation]
+
+    # ---- pass 1: density-only resample -> weights
+    dens_pre = vol[..., -1]  # [S, A, B]
+    tmp_d = jnp.einsum(
+        "sua,sab->sub", Wa.astype(dt), dens_pre,
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # [S, U, B]
+    if mesh is not None:
+        from voxe_tpu.parallel.mesh import shard_axis
+
+        tmp_d = shard_axis(mesh, tmp_d, axis=1)
+    dens_rs = jnp.einsum(
+        "svb,sub->uvs", Wb.astype(dt), tmp_d,
+        preferred_element_type=jnp.float32,
+    )  # [U, V, S] f32
+    if mesh is not None:
+        from voxe_tpu.parallel.mesh import shard_axis
+
+        dens_rs = shard_axis(mesh, dens_rs, axis=0)
+    dens = d_post(dens_rs).reshape(N, S)
+    dens = jnp.where(inside_ns, dens, 0.0)
+
+    # weights via the exp(-cumsum) identity (accumulate.py:133-143); unit ray
+    # dirs => no dir-norm scaling; final delta = slab spacing
+    deltas = t_slices[..., 1:] - t_slices[..., :-1]
+    deltas = jnp.concatenate([deltas, deltas[..., -1:]], axis=-1)  # [N, S]
+    optical = jnp.cumsum(dens * deltas, axis=-1)
+    t_incl = jnp.exp(-optical)
+    ones = jnp.ones((N, 1), dtype=t_incl.dtype)
+    t_excl = jnp.concatenate([ones, t_incl[..., :-1]], axis=-1)
+    weights = t_excl - t_incl  # [N, S]
+    acc_render = 1.0 - t_incl[..., -1:]  # [N, 1]
+
+    # ---- pass 2: blockwise weighted shading
+    feats_pre = vol[..., :-1]  # [S, A, B, C1-1]
+    num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1
+    n_coeffs = (C1 - 1) // num_channels
+    sh_degree = int(math.isqrt(n_coeffs)) - 1
+    w_dt = weights.astype(dt)
+    dirs_b = dirs[:, None, :]  # broadcasts through SH
+
+    def shade_block(vol_b, Wa_b, Wb_b, w_b):
+        # vol_b [Sb, A, B, Cf]; Wa_b [Sb, U, A]; Wb_b [Sb, V, B]; w_b [N, Sb]
+        tmp = jnp.einsum(
+            "sua,sabc->subc", Wa_b.astype(dt), vol_b,
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import shard_axis
+
+            tmp = shard_axis(mesh, tmp, axis=1)
+        res = jnp.einsum(
+            "svb,subc->uvsc", Wb_b.astype(dt), tmp,
+            preferred_element_type=jnp.float32,
+        )  # [U, V, Sb, Cf] f32-accumulated
+        Sb = vol_b.shape[0]
+        feats = f_post(res.astype(dt)).reshape(N, Sb, num_channels, n_coeffs)
+        raw_rad = evaluate_spherical_harmonics(
+            degree=sh_degree, sh_coeffs=feats, viewdirs=dirs_b
+        )  # [N, Sb, C]
+        colour_b = jax.nn.sigmoid(raw_rad)
+        out = jnp.einsum(
+            "ns,nsc->nc", w_b, colour_b, preferred_element_type=jnp.float32
+        )
+        if with_diffuse:
+            diff_rad = evaluate_spherical_harmonics(
+                degree=0, sh_coeffs=feats[..., :1], viewdirs=dirs_b
+            )
+            out_d = jnp.einsum(
+                "ns,nsc->nc", w_b, jax.nn.sigmoid(diff_rad),
+                preferred_element_type=jnp.float32,
+            )
+            return out, out_d
+        return out, None
+
+    shade_block = jax.checkpoint(shade_block)
+    colour_render = jnp.zeros((N, num_channels), jnp.float32)
+    diffuse_render = jnp.zeros((N, num_channels), jnp.float32) if with_diffuse else None
+    for start in range(0, S, slice_block):
+        stop = min(S, start + slice_block)
+        c_b, d_b = shade_block(
+            feats_pre[start:stop],
+            Wa[start:stop],
+            Wb[start:stop],
+            w_dt[:, start:stop],
+        )
+        colour_render = colour_render + c_b
+        if with_diffuse:
+            diffuse_render = diffuse_render + d_b
+
+    if white_bkgd:
+        bg = (1.0 - acc_render) * background_value
+        colour_render = colour_render + bg
+        if with_diffuse:
+            diffuse_render = diffuse_render + bg
+
+    depth_render = jnp.sum(t_slices * weights, axis=-1, keepdims=True)
+    disparity_render = 1.0 / jnp.maximum(
+        ZERO_PLUS, depth_render / acc_render
+    )
+    extra = {
+        EXTRA_DISPARITY: disparity_render,
+        EXTRA_ACCUMULATED_WEIGHTS: acc_render,
+    }
+    if with_diffuse:
+        extra["diffuse_colour"] = diffuse_render
+    return RenderOut(colour=colour_render, depth=depth_render, extra=extra)
+
+
 def _render_canonical(
     vol: jnp.ndarray,  # [S, A, B, C+1] pre-activated (features..., density)
     eye_g: jnp.ndarray,  # [3] eye in (a, b, k) grid coords; eye_k < 0
@@ -92,6 +249,7 @@ def _render_canonical(
     mesh=None,
     background_value: float = 1.0,
     axis_order: Tuple[int, int, int] = (0, 1, 2),
+    stream_composite: bool = True,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces; ray directions in WORLD axis order).
@@ -140,6 +298,46 @@ def _render_canonical(
     Wa = _interp_matrices(src_a, A)  # [S, U, A]
     Wb = _interp_matrices(src_b, B)  # [S, V, B]
 
+    # world-space rays through base pixels (canonical a/b/k components)
+    w_a, w_b, w_k = voxel_sizes_g[0], voxel_sizes_g[1], voxel_sizes_g[2]
+    pa = aabb_lo_g[0] + alpha * w_a  # [U] world a-coord on base plane
+    pb = aabb_lo_g[1] + beta * w_b
+    eye_w = jnp.stack(
+        [aabb_lo_g[0] + e_a * w_a, aabb_lo_g[1] + e_b * w_b,
+         aabb_lo_g[2] + e_k * w_k]
+    )
+    va = (pa[:, None] - eye_w[0]) * jnp.ones((1, V))  # [U, V]
+    vb = (pb[None, :] - eye_w[1]) * jnp.ones((U, 1))
+    vk = jnp.full((U, V), aabb_lo_g[2] - eye_w[2])
+    v = jnp.stack([va, vb, vk], axis=-1).reshape(U * V, 3)  # base-plane offset
+    v_norm = jnp.linalg.norm(v, axis=-1)
+    dirs = v / v_norm[:, None]  # canonical (a, b, k) component order
+    # un-permute to world axis order (static slices — integer-array indexing
+    # would lower to gather)
+    inv = [0, 0, 0]
+    for i, ax in enumerate(axis_order):
+        inv[ax] = i
+    dirs = jnp.stack([dirs[:, inv[0]], dirs[:, inv[1]], dirs[:, inv[2]]], axis=1)
+
+    # depth of each slice crossing: t_j = |v| * τ_j
+    t_slices = v_norm[:, None] * tau[None, :]  # [U*V, S]
+
+    # outside-AABB masking (process.py:78-85 parity): without it the
+    # zero-padded PRE-activation density turns into softplus(0) fog
+    in_a = (src_a >= -0.5) & (src_a <= A - 0.5)  # [S, U]
+    in_b = (src_b >= -0.5) & (src_b <= B - 0.5)  # [S, V]
+
+    if stream_composite:
+        inside_ns = (
+            in_a.T[:, None, :] & in_b.T[None, :, :]  # [U, V, S]
+        ).reshape(U * V, S)
+        out = _streamed_composite(
+            vol, Wa, Wb, t_slices, dirs, inside_ns, grid_config,
+            config.white_bkgd, background_value, with_diffuse, mesh,
+        )
+        return out, (eye_w, dirs, t_slices, lo, hi)
+
+    # ---- monolithic fallback (exact-parity experiments / fused kernel):
     # resample every slice onto the base pixel lattice: two MXU contractions.
     # bf16 grids: cast the hat weights to the volume dtype so the contraction
     # runs on the bf16 MXU path (mixed f32xbf16 einsum silently promotes the
@@ -168,30 +366,6 @@ def _render_canonical(
     # traffic, with the colour reduction f32-accumulated in accumulate.py
     resampled = resampled.reshape(U * V, S, C1)
 
-    # world-space rays through base pixels (canonical a/b/k components)
-    w_a, w_b, w_k = voxel_sizes_g[0], voxel_sizes_g[1], voxel_sizes_g[2]
-    pa = aabb_lo_g[0] + alpha * w_a  # [U] world a-coord on base plane
-    pb = aabb_lo_g[1] + beta * w_b
-    eye_w = jnp.stack(
-        [aabb_lo_g[0] + e_a * w_a, aabb_lo_g[1] + e_b * w_b,
-         aabb_lo_g[2] + e_k * w_k]
-    )
-    va = (pa[:, None] - eye_w[0]) * jnp.ones((1, V))  # [U, V]
-    vb = (pb[None, :] - eye_w[1]) * jnp.ones((U, 1))
-    vk = jnp.full((U, V), aabb_lo_g[2] - eye_w[2])
-    v = jnp.stack([va, vb, vk], axis=-1).reshape(U * V, 3)  # base-plane offset
-    v_norm = jnp.linalg.norm(v, axis=-1)
-    dirs = v / v_norm[:, None]  # canonical (a, b, k) component order
-    # un-permute to world axis order (static slices — integer-array indexing
-    # would lower to gather)
-    inv = [0, 0, 0]
-    for i, ax in enumerate(axis_order):
-        inv[ax] = i
-    dirs = jnp.stack([dirs[:, inv[0]], dirs[:, inv[1]], dirs[:, inv[2]]], axis=1)
-
-    # depth of each slice crossing: t_j = |v| * τ_j
-    t_slices = v_norm[:, None] * tau[None, :]  # [U*V, S]
-
     # activations AFTER interpolation (grid_query parity, voxels.py:194-218)
     cfg = grid_config
     f_post = ACTIVATIONS[cfg.feature_postactivation]
@@ -199,10 +373,6 @@ def _render_canonical(
     feats = f_post(resampled[..., :-1].astype(dt))
     dens = d_post(resampled[..., -1])  # [N, S] f32
 
-    # outside-AABB masking (process.py:78-85 parity): without it the
-    # zero-padded PRE-activation density turns into softplus(0) fog
-    in_a = (src_a >= -0.5) & (src_a <= A - 0.5)  # [S, U]
-    in_b = (src_b >= -0.5) & (src_b <= B - 0.5)  # [S, V]
     inside = in_a[:, :, None] & in_b[:, None, :]  # [S, U, V]
     inside = jnp.transpose(inside, (1, 2, 0)).reshape(U * V, S, 1)
     dens = jnp.where(inside[..., 0], dens, 0.0)
@@ -277,6 +447,7 @@ def render_shear_warp(
     use_orig_densities: bool = False,
     background_value: float = 1.0,
     static_branch: int = None,
+    stream_composite: bool = True,
 ) -> Tuple[RenderOut, BaseImageGeometry]:
     """Render the base-plane image of `voxel_grid` seen from `pose`.
 
@@ -287,7 +458,14 @@ def render_shear_warp(
     — the shear-warp twin of render_sh_voxel_grid_attn (grid_query_attn
     semantics: voxels.py:221-246); pass background_value=0.0 to composite on
     black as the reference does (accumulate.py:161-166).
+
+    `stream_composite` (default) uses the slice-streamed resample+composite
+    (_streamed_composite) — identical numerics, no [N, S, C] HBM round-trip.
+    The monolithic path remains for the Pallas fused-kernel experiment and
+    A/B benchmarking.
     """
+    if getattr(config, "use_fused_kernel", False):
+        stream_composite = False  # the Pallas kernel lives on the monolithic path
     cfg = voxel_grid.config
     d_pre = ACTIVATIONS[cfg.density_preactivation]
     f_pre = ACTIVATIONS[cfg.feature_preactivation]
@@ -337,6 +515,7 @@ def render_shear_warp(
                 with_diffuse=with_diffuse, mesh=mesh,
                 background_value=background_value,
                 axis_order=(a_ax, b_ax, k_ax),
+                stream_composite=stream_composite,
             )
             # t_slices shape is [N, dims[k_ax]] — branch-DEPENDENT for
             # non-cubic grids, so it must not cross the lax.switch boundary
