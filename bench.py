@@ -242,6 +242,138 @@ def bench_recon(use_shearwarp: bool, iters: int, frame: int) -> dict:
     }
 
 
+def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
+    """One refinement iteration at production scale (VERDICT r2 next-3):
+    no-grad RGB frame render + SD-1.4 attention-capture pass + the dual
+    attn-grid jitted update, at 160^3 / frame^2 (reference cost model:
+    attn_grid_trainer.py:238 — 1500 such iterations + one graph cut).
+
+    The one-off native graph cut (160^3 grid, ~270k-node sphere) is timed
+    separately and reported on stderr + BENCHMARKS.md; the JSON line carries
+    the per-iteration cost. vs_baseline reuses the reference's EDIT-step
+    anchor (375 ms/iter) because the reference publishes no refinement
+    timing; its refine iteration does strictly LESS work than its edit
+    iteration (1 UNet fwd, no CFG pair backward) — treat the multiple as a
+    lower-bound-flavoured soft anchor (BENCHMARKS.md refinement table).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from voxe_tpu.models.sd import StableDiffusion
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
+    from voxe_tpu.utils.camera import CameraBounds, CameraPose, pose_spherical
+
+    res = int(os.environ.get("VOXE_BENCH_GRID", "160"))
+    grid = make_dog2_grid(res)
+    grid = grid.replace(attn=jnp.full((res, res, res, 1), -20.0))
+    render_config = SHVoxGridRenderConfig(
+        num_samples_per_ray=256, camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True,
+    )
+    # refinement uses SD 1.4 (reference attn_grid_trainer.py:154)
+    sd = StableDiffusion(sd_version="1.4", init_mode="zeros")
+    optimizer = optax.adam(0.035)
+    edit_attn = grid.attn
+    obj_attn = grid.attn
+    opt_e = optimizer.init(edit_attn)
+    opt_o = optimizer.init(obj_attn)
+    pose = pose_spherical(30.0, 40.0, 4.0311)
+    rot = jnp.asarray(pose.rotation)
+    trans = jnp.asarray(pose.translation).reshape(3, 1)
+    base_hw = (frame, frame)
+
+    @jax.jit
+    def rgb_frame(g, rotation, translation):
+        out, _ = render_shear_warp(
+            g, CameraPose(rotation=rotation, translation=translation),
+            render_config, base_hw=base_hw,
+        )
+        return orient_base_image(out.colour.reshape(*base_hw, 3), rotation)[None]
+
+    from voxe_tpu.train.losses import tv_loss_on_grid
+    from voxe_tpu.train.refine import calc_loss_on_attn_grid
+
+    @jax.jit
+    def attn_step(e_attn, o_attn, oe, oo, rotation, translation, emap, omap, key):
+        k1, k2 = jax.random.split(key)
+        pose_ = CameraPose(rotation=rotation, translation=translation)
+
+        def loss_fn(attn, target, k):
+            g = grid.replace(attn=attn)
+            out, _ = render_shear_warp(
+                g, pose_, render_config, base_hw=base_hw, key=k,
+                attn_mode=True, background_value=0.0,
+            )
+            r = orient_base_image(out.colour[..., 0].reshape(*base_hw), rotation)
+            return calc_loss_on_attn_grid(r, target) + 0.001 * tv_loss_on_grid(attn)
+
+        ge = jax.grad(loss_fn)(e_attn, emap, k1)
+        ue, oe2 = optimizer.update(ge, oe, e_attn)
+        go = jax.grad(loss_fn)(o_attn, omap, k2)
+        uo, oo2 = optimizer.update(go, oo, o_attn)
+        return (
+            optax.apply_updates(e_attn, ue), optax.apply_updates(o_attn, uo),
+            oe2, oo2,
+        )
+
+    def one_iter(e_attn, o_attn, oe, oo, key):
+        pred_rgb = rgb_frame(grid.replace(attn=e_attn), rot, trans)
+        maps, _ = sd.get_attn_map(
+            "a render of a dog wearing a party hat, front view", pred_rgb,
+            key, timestamp=200, indices_to_fetch=list(range(1, 9)),
+        )
+        emap = jnp.max(jnp.stack(maps[:2], -1), -1)
+        omap = jnp.max(jnp.stack(maps[2:], -1), -1)
+        return attn_step(e_attn, o_attn, oe, oo, rot, trans, emap, omap, key)
+
+    e, o, oe, oo = one_iter(edit_attn, obj_attn, opt_e, opt_o, jax.random.PRNGKey(0))
+    _ = np.asarray(e.ravel()[:1])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        e, o, oe, oo = one_iter(e, o, oe, oo, jax.random.PRNGKey(i))
+    _ = np.asarray(e.ravel()[:1])
+    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    # one-off native graph cut at production voxel count (sphere r=40 voxels
+    # in the 160^3 grid: ~270k non-empty nodes)
+    import voxe_tpu.seg.graphcut as gc
+
+    idx = np.indices((res, res, res)).reshape(3, -1).T
+    inside = (np.linalg.norm(idx - (res - 1) / 2.0, axis=1) < res / 4.0).reshape(
+        res, res, res, 1
+    )
+    dens = np.where(inside, 50.0, 0.0).astype(np.float32)  # post-activation
+    rng_np = np.random.default_rng(0)
+    # half the sphere leans edit, half object — a non-degenerate cut
+    half = (idx[:, 0] < res // 2).reshape(res, res, res, 1)
+    edit_logits = np.where(half, 3.0, -3.0).astype(np.float32)
+    obj_logits = -edit_logits
+    features = rng_np.random((res, res, res, 3), dtype=np.float32)
+    t0 = time.perf_counter()
+    segments, _ = gc.build_graph(
+        features, dens, edit_logits, obj_logits, K=5.0,
+        edit_mask_thresh=0.992, num_obj_voxels_thresh=5000,
+        min_num_edit_voxels=300, top_k_edit_thresh=300, top_k_obj_thresh=200,
+        rng=rng_np,
+    )
+    cut_s = time.perf_counter() - t0
+    print(
+        f"graphcut(160^3, {int(inside.sum())} nodes): {cut_s:.2f} s "
+        f"(one-off per refinement)", file=sys.stderr,
+    )
+
+    return {
+        "metric": "refine_step_ms",
+        "value": round(ms, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round(REFERENCE_EDIT_MS_PER_ITER / ms, 3),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -258,6 +390,8 @@ def main() -> None:
 
     if mode == "recon":
         result = bench_recon(use_shearwarp, iters, frame if use_shearwarp else 400)
+    elif mode == "refine":
+        result = bench_refine(use_shearwarp, iters, frame)
     else:
         result = bench_edit(use_shearwarp, iters, frame)
     print(json.dumps(result))

@@ -171,6 +171,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--steps_per_call", type=click.INT, required=False, default=1,
               help="edit iterations fused into one device dispatch (random-pose "
               "directional mode only)", show_default=True)
+@click.option("--multihost", type=click.BOOL, required=False, default=False,
+              help="initialize jax.distributed for multi-host (SPMD) execution; "
+              "run the same command on every host", show_default=True)
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices for the "
               "SDS and refinement stages (1-D jax.sharding.Mesh)", show_default=True)
@@ -186,6 +189,10 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
+    if config.multihost:
+        from voxe_tpu.parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed(True)
     model_path = Path(config.ref_model_path)
     output_path = Path(config.output_path)
 
@@ -319,6 +326,7 @@ def main(**kwargs) -> None:
             sd_version="tiny" if config.sd_version == "tiny" else "1.4",
             mesh=edit_mesh,
             use_shear_warp=config.use_shear_warp,
+            shear_warp_base_res=config.shear_warp_base_res,
         )
 
     if config.post_process_scc:

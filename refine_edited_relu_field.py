@@ -93,16 +93,26 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
               required=False, default=None, help="converted SD weights dir", show_default=True)
 @click.option("--sd_version", type=click.STRING, required=False, default="1.4",
               help="SD version for attention extraction", show_default=True)
+@click.option("--multihost", type=click.BOOL, required=False, default=False,
+              help="initialize jax.distributed for multi-host (SPMD) execution; "
+              "run the same command on every host", show_default=True)
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices "
               "(1-D jax.sharding.Mesh)", show_default=True)
-@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+@click.option("--shear_warp_base_res", type=click.INT, required=False, default=None,
+              help="side of the square shear-warp base frame (default: "
+              "max(image_dims))", show_default=True)
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=True,
               help="run the refinement renders (RGB frame for attention "
               "extraction + differentiable attn renders) on the gather/"
               "scatter-free shear-warp path", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
+    if config.multihost:
+        from voxe_tpu.parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed(True)
     sds_model_path = Path(config.sds_model_path)
     ref_model_path = Path(config.ref_model_path)
     output_path = Path(config.output_path)
@@ -175,6 +185,7 @@ def main(**kwargs) -> None:
         sd_weights_dir=sd_weights_dir,
         num_devices=config.num_devices,
         use_shear_warp=config.use_shear_warp,
+        shear_warp_base_res=config.shear_warp_base_res,
     )
 
 

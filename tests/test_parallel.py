@@ -1,4 +1,5 @@
 """Mesh data-parallelism tests: sharding propagation + collective insertion."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,3 +228,59 @@ def test_recon_trainer_honors_num_devices(tmp_path):
         fast_debug_mode=True, num_devices=8,
     )
     assert np.isfinite(np.asarray(out.grid.densities)).all()
+
+
+def test_multihost_init_two_cpu_processes(tmp_path):
+    """jax.distributed smoke test (SURVEY §5 distributed-backend spec): two
+    CPU processes form one 4-device SPMD program through
+    maybe_init_distributed and psum across the global mesh."""
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent("""
+        import os, sys
+        sys.path.insert(0, "/root/repo")
+        os.environ["VOXE_PLATFORM"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        from voxe_tpu.parallel.distributed import maybe_init_distributed, is_primary_host
+        assert maybe_init_distributed(True)
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        assert jax.process_count() == 2, jax.process_count()
+        assert jax.device_count() == 4, jax.device_count()
+        mesh = Mesh(np.asarray(jax.devices()), ("rays",))
+        # every process contributes its local shard of a global [4] array
+        local = jnp.arange(2, dtype=jnp.float32) + 2 * jax.process_index()
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("rays")), np.asarray(local), (4,)
+        )
+        @jax.jit
+        def total(a):
+            return jnp.sum(a)
+        out = float(total(arr))
+        assert out == 0 + 1 + 2 + 3, out
+        print(f"proc {jax.process_index()} primary={is_primary_host()} ok")
+    """)
+    port = 21357
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", prog], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"stdout:{so[-2000:]}\nstderr:{se[-2000:]}"
+    assert "primary=True ok" in outs[0][0]
+    assert "primary=False ok" in outs[1][0]

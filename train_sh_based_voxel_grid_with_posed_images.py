@@ -121,6 +121,9 @@ from voxe_tpu.utils.misc import (
 @click.option("--coarse_stages_on_cpu", type=click.BOOL, required=False, default=False,
               help="run all but the final stage on host CPU (coarse stages are "
               "trivial compute; avoids per-stage accelerator compiles)", show_default=True)
+@click.option("--multihost", type=click.BOOL, required=False, default=False,
+              help="initialize jax.distributed for multi-host (SPMD) execution; "
+              "run the same command on every host", show_default=True)
 @click.option("--num_devices", type=click.INT, required=False, default=1,
               help="data-parallel ray batching over this many devices "
               "(1-D jax.sharding.Mesh; grads all-reduce over ICI)", show_default=True)
@@ -139,6 +142,10 @@ from voxe_tpu.utils.misc import (
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
+    if config.multihost:
+        from voxe_tpu.parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed(True)
     data_path = Path(config.data_path)
     output_path = Path(config.output_path)
 

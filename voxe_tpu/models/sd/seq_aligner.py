@@ -6,6 +6,14 @@ AttentionReplace/Refine controllers). NumPy-native; the Vox-E localization
 path only needs AttentionStore-style capture, but the full editing machinery
 is kept for completeness (the reference ships it equally unused,
 SURVEY.md 2.8).
+
+Provenance: `get_matrix` and the traceback-matrix initialization (the ~8
+lines of dynamic-programming boilerplate below) follow Google's Apache-2.0
+prompt-to-prompt reference implementation (github.com/google/prompt-to-prompt,
+seq_aligner.py), which the Vox-E reference vendors verbatim; they are the
+textbook Needleman-Wunsch initialization and are retained in that standard
+form. Everything else here is restructured (NamedTuple params, vectorized
+scoring).
 """
 from __future__ import annotations
 

@@ -128,8 +128,12 @@ class CrossAttention(nn.Module):
                 )  # [B, h, Q, D]
                 out = out.swapaxes(-3, -2).reshape(*hidden.shape[:-1], C)
                 return nn.Dense(C, name="to_out_0")(out)
-            # XLA scaled-dot-product attention (no flash on TPU: materializes
-            # the [B, h, Q, K] probs — fine for cross-attn's K=77 and short Q)
+            # XLA scaled-dot-product attention. Measured r3 negative results
+            # at the UNet's 64^2 level, both vs this lowering: Pallas flash
+            # +13 ms/iter; a manual einsum/softmax/bf16-probs formulation
+            # +17 ms/iter (XLA's SDPA fuses the softmax into the QK matmul
+            # epilogue — splitting it materializes scores AND probs). Leave
+            # the lowering to the compiler.
             out = jax.nn.dot_product_attention(
                 q.swapaxes(-3, -2).astype(dt),
                 k.swapaxes(-3, -2).astype(dt),
