@@ -105,10 +105,10 @@ class CrossAttention(nn.Module):
         k = nn.Dense(C, use_bias=False, name="to_k")(context)
         v = nn.Dense(C, use_bias=False, name="to_v")(context)
 
-        def split(x):
-            return x.reshape(*x.shape[:-1], self.num_heads, head_dim).swapaxes(-3, -2)
+        def split_bqhd(x):  # [B, T, C] -> [B, T, h, d] (SDPA-native layout)
+            return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
 
-        q, k, v = split(q), split(k), split(v)
+        q, k, v = split_bqhd(q), split_bqhd(k), split_bqhd(v)
 
         needs_probs = attn_edit_fn is not None or (capture_attn and self.capture)
         if not needs_probs:
@@ -116,14 +116,16 @@ class CrossAttention(nn.Module):
             # bf16 kernels); both lowerings require a uniform dtype
             dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
             if not is_cross and _flash_self_attention_enabled(
-                q.shape[-2], head_dim
+                q.shape[-3], head_dim
             ):
                 from jax.experimental.pallas.ops.tpu.flash_attention import (
                     flash_attention,
                 )
 
                 out = flash_attention(
-                    q.astype(dt), k.astype(dt), v.astype(dt),
+                    q.swapaxes(-3, -2).astype(dt),
+                    k.swapaxes(-3, -2).astype(dt),
+                    v.swapaxes(-3, -2).astype(dt),
                     sm_scale=1.0 / float(np.sqrt(head_dim)),
                 )  # [B, h, Q, D]
                 out = out.swapaxes(-3, -2).reshape(*hidden.shape[:-1], C)
@@ -135,11 +137,11 @@ class CrossAttention(nn.Module):
             # epilogue — splitting it materializes scores AND probs). Leave
             # the lowering to the compiler.
             out = jax.nn.dot_product_attention(
-                q.swapaxes(-3, -2).astype(dt),
-                k.swapaxes(-3, -2).astype(dt),
-                v.swapaxes(-3, -2).astype(dt),
+                q.astype(dt), k.astype(dt), v.astype(dt)
             ).reshape(*hidden.shape[:-1], C)
             return nn.Dense(C, name="to_out_0")(out)
+        # probs path: [B, h, Q, K] layout
+        q, k, v = (x.swapaxes(-3, -2) for x in (q, k, v))
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(head_dim)
         probs = nn.softmax(scores, axis=-1)

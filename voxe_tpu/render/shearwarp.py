@@ -98,6 +98,7 @@ def _streamed_composite(
     with_diffuse: bool,
     mesh,
     slice_block: int = None,
+    flip_k: bool = False,
 ):
     """Slice-streamed resample + composite: the [N, S, C] radiance tensor is
     never materialized in HBM.
@@ -156,21 +157,34 @@ def _streamed_composite(
     # weights via the exp(-cumsum) identity (accumulate.py:133-143); unit ray
     # dirs => no dir-norm scaling; final delta = slab spacing.
     # The cumulative sum over S is computed as a matmul against a constant
-    # upper-triangular [S, S] matrix: XLA's native cumsum lowering is a
+    # [S, S] triangular matrix: XLA's native cumsum lowering is a
     # pad(160->256)/reshape/blocked-scan chain costing ~5 ms/iter fwd+bwd at
     # dog2 shapes (r3 full-step trace), while the triangular contraction is
     # one 8 GFLOP MXU pass whose backward is the transposed matmul.
-    deltas = t_slices[..., 1:] - t_slices[..., :-1]
-    deltas = jnp.concatenate([deltas, deltas[..., -1:]], axis=-1)  # [N, S]
+    #
+    # `flip_k`: the s axis runs in VOLUME source order while the eye is
+    # beyond slice S-1, i.e. marching order is s descending. Accumulation
+    # direction is just the matrix orientation (tril instead of triu), the
+    # last marching sample is s=0, and deltas come from the preceding
+    # (larger-s... smaller-index) neighbour — this is what lets negative
+    # marching branches skip the [S, A, B, C] volume reverse (and its
+    # backward) entirely.
+    if flip_k:
+        d = t_slices[..., :-1] - t_slices[..., 1:]  # positive: t descending
+        deltas = jnp.concatenate([d[..., :1], d], axis=-1)  # [N, S]
+    else:
+        d = t_slices[..., 1:] - t_slices[..., :-1]
+        deltas = jnp.concatenate([d, d[..., -1:]], axis=-1)  # [N, S]
     x = dens * deltas  # [N, S] per-sample optical thickness
-    tri = jnp.triu(jnp.ones((S, S), jnp.float32))  # incl[n,j] = sum_{i<=j} x[n,i]
+    ones_ss = jnp.ones((S, S), jnp.float32)
+    tri = jnp.tril(ones_ss) if flip_k else jnp.triu(ones_ss)
     optical = jnp.einsum(
         "ns,st->nt", x, tri, preferred_element_type=jnp.float32
-    )
+    )  # inclusive optical depth along the marching direction
     t_incl = jnp.exp(-optical)
     t_excl = jnp.exp(x - optical)  # exclusive sum = inclusive - x
     weights = t_excl - t_incl  # [N, S]
-    acc_render = 1.0 - t_incl[..., -1:]  # [N, 1]
+    acc_render = 1.0 - (t_incl[..., :1] if flip_k else t_incl[..., -1:])
 
     # ---- pass 2: blockwise weighted shading
     feats_pre = vol[..., :-1]  # [S, A, B, C1-1]
@@ -262,6 +276,7 @@ def _render_canonical(
     background_value: float = 1.0,
     axis_order: Tuple[int, int, int] = (0, 1, 2),
     stream_composite: bool = True,
+    flip_k: bool = False,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces; ray directions in WORLD axis order).
@@ -304,9 +319,13 @@ def _render_canonical(
     alpha = lo[0] + (jnp.arange(U, dtype=f) + 0.5) * (hi[0] - lo[0]) / U  # [U]
     beta = lo[1] + (jnp.arange(V, dtype=f) + 0.5) * (hi[1] - lo[1]) / V  # [V]
 
-    # per-slice source coords + separable interpolation matrices
-    src_a = e_a + (alpha[None, :] - e_a) * tau[:, None]  # [S, U]
-    src_b = e_b + (beta[None, :] - e_b) * tau[:, None]  # [S, V]
+    # per-slice source coords + separable interpolation matrices. With
+    # flip_k (streamed negative-direction marching) the per-slice arrays are
+    # built in VOLUME source order — tau reversed — so the big volume tensor
+    # itself never needs reversing; only these [S]-row matrices do.
+    tau_o = tau[::-1] if flip_k else tau  # slice-index order of `vol`
+    src_a = e_a + (alpha[None, :] - e_a) * tau_o[:, None]  # [S, U]
+    src_b = e_b + (beta[None, :] - e_b) * tau_o[:, None]  # [S, V]
     Wa = _interp_matrices(src_a, A)  # [S, U, A]
     Wb = _interp_matrices(src_b, B)  # [S, V, B]
 
@@ -331,8 +350,8 @@ def _render_canonical(
         inv[ax] = i
     dirs = jnp.stack([dirs[:, inv[0]], dirs[:, inv[1]], dirs[:, inv[2]]], axis=1)
 
-    # depth of each slice crossing: t_j = |v| * τ_j
-    t_slices = v_norm[:, None] * tau[None, :]  # [U*V, S]
+    # depth of each slice crossing: t_j = |v| * τ_j (slice-index order)
+    t_slices = v_norm[:, None] * tau_o[None, :]  # [U*V, S]
 
     # outside-AABB masking (process.py:78-85 parity): without it the
     # zero-padded PRE-activation density turns into softplus(0) fog
@@ -346,6 +365,7 @@ def _render_canonical(
         out = _streamed_composite(
             vol, Wa, Wb, t_slices, dirs, inside_ns, grid_config,
             config.white_bkgd, background_value, with_diffuse, mesh,
+            flip_k=flip_k,
         )
         return out, (eye_w, dirs, t_slices, lo, hi)
 
@@ -518,7 +538,13 @@ def render_shear_warp(
             lo3 = jnp.stack([aabb_lo[a_ax], aabb_lo[b_ax], aabb_lo[k_ax]])
             dimp = jnp.stack([dims[a_ax], dims[b_ax], dims[k_ax]])
             if not positive:  # march toward -k: flip the k axis
-                volp = volp[::-1]
+                if not stream_composite:
+                    # monolithic path: materialize the reversed volume. The
+                    # streamed path instead reverses the [S]-row weight
+                    # matrices and flips the triangular-scan orientation
+                    # (flip_k) — the [S, A, B, C] reverse and its backward
+                    # (~1.4 ms/iter at dog2 shapes, r3 trace) never run.
+                    volp = volp[::-1]
                 lo3 = lo3.at[2].set(lo3[2] + (dimp[2] - 1.0) * vs[2])
                 vs = vs.at[2].set(-vs[2])
             eye_g = (jnp.stack([eye_w_[a_ax], eye_w_[b_ax], eye_w_[k_ax]]) - lo3) / vs
@@ -528,6 +554,7 @@ def render_shear_warp(
                 background_value=background_value,
                 axis_order=(a_ax, b_ax, k_ax),
                 stream_composite=stream_composite,
+                flip_k=stream_composite and not positive,
             )
             # t_slices shape is [N, dims[k_ax]] — branch-DEPENDENT for
             # non-cubic grids, so it must not cross the lax.switch boundary
