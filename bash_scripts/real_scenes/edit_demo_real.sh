@@ -27,6 +27,9 @@ python train_sh_based_voxel_grid_with_posed_images.py -d ./data/${scene}/ \
     --white_bkgd=False \
     --sh_degree=0
 
+# data_pose_mode now runs on the shear-warp fast path by default (r3):
+# dataset poses render base-plane frames directly; --use_shear_warp=False
+# reverts to the exact per-sample renderer
 python edit_pretrained_relu_field.py \
     -d ./data/${scene}/ \
     -o logs/rf/${scene}/edit/ \

@@ -114,11 +114,23 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
             sd, render_config, optimizer, (frame, frame),
             density_correlation_weight=200.0,
         )
-        args = lambda g, s, k: (  # noqa: E731
-            g, s, sd.params, text,
-            jnp.asarray(pose.rotation), jnp.asarray(pose.translation).reshape(3, 1),
-            ref_d, ref_f, k, t,
-        )
+        # cycle poses across different lax.switch marching branches, like the
+        # production loop's random hemisphere draw — a single fixed pose
+        # would time one branch only (ADVICE.md r2 #4)
+        bench_poses = [
+            pose_spherical(yaw, p, 4.0311)
+            for yaw, p in ((30.0, 40.0), (120.0, 40.0), (210.0, 85.0), (300.0, 10.0))
+        ]
+        rots = [jnp.asarray(p.rotation) for p in bench_poses]
+        transs = [jnp.asarray(p.translation).reshape(3, 1) for p in bench_poses]
+        pose_i = [0]
+
+        def args(g, s, k):
+            i = pose_i[0] % len(bench_poses)
+            pose_i[0] += 1
+            return (
+                g, s, sd.params, text, rots[i], transs[i], ref_d, ref_f, k, t,
+            )
     else:
         step = make_sds_train_step(
             sd, render_config, optimizer, (frame, frame),

@@ -681,6 +681,8 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 f"{stage_dataset.camera_intrinsics.width}]  lr: {stage_lr:.5f}"
             )
 
+            stage_time_start = time_training
+            stage_wall_start = time.perf_counter()
             last_time = time.perf_counter()
             for stage_iteration in range(
                 start_iteration, num_iterations_per_stage + 1, steps_per_call
@@ -790,6 +792,20 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                             "global_step": global_step,
                         },
                     )
+
+            # per-stage accounting with a HARD device barrier (a device->host
+            # fetch — the only reliable barrier on the axon relay transport,
+            # BENCHMARKS.md "measurement truth"): deconfounds per-stage time
+            # from async dispatch and relay-window wall-clock noise
+            _ = np.asarray(jax.device_get(grid.densities.ravel()[:1]))
+            time_training += time.perf_counter() - last_time
+            last_time = time.perf_counter()
+            log.info(
+                f"stage {stage} done: training time "
+                f"{time_training - stage_time_start:.1f}s (drained), wall "
+                f"{time.perf_counter() - stage_wall_start:.1f}s incl. "
+                "logging/checkpoints"
+            )
 
         if stage != num_stages:
             grid = scale_voxel_grid(grid, stagewise_sizes[stage])
