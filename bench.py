@@ -275,8 +275,7 @@ def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
 
     from voxe_tpu.models.sd import StableDiffusion
     from voxe_tpu.render.interface import SHVoxGridRenderConfig
-    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
-    from voxe_tpu.utils.camera import CameraBounds, CameraPose, pose_spherical
+    from voxe_tpu.utils.camera import CameraBounds, pose_spherical
 
     res = int(os.environ.get("VOXE_BENCH_GRID", "160"))
     grid = make_dog2_grid(res)
@@ -297,49 +296,28 @@ def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
     trans = jnp.asarray(pose.translation).reshape(3, 1)
     base_hw = (frame, frame)
 
-    @jax.jit
-    def rgb_frame(g, rotation, translation):
-        out, _ = render_shear_warp(
-            g, CameraPose(rotation=rotation, translation=translation),
-            render_config, base_hw=base_hw,
-        )
-        return orient_base_image(out.colour.reshape(*base_hw, 3), rotation)[None]
+    # the fused one-dispatch iteration the trainer itself uses — the
+    # 3-dispatch structure measured 3.45 s/iter of pure relay dispatch
+    # latency (r3), ~40x the device time
+    from voxe_tpu.train.refine import make_refine_iter_shearwarp
 
-    from voxe_tpu.train.losses import tv_loss_on_grid
-    from voxe_tpu.train.refine import calc_loss_on_attn_grid
-
-    @jax.jit
-    def attn_step(e_attn, o_attn, oe, oo, rotation, translation, emap, omap, key):
-        k1, k2 = jax.random.split(key)
-        pose_ = CameraPose(rotation=rotation, translation=translation)
-
-        def loss_fn(attn, target, k):
-            g = grid.replace(attn=attn)
-            out, _ = render_shear_warp(
-                g, pose_, render_config, base_hw=base_hw, key=k,
-                attn_mode=True, background_value=0.0,
-            )
-            r = orient_base_image(out.colour[..., 0].reshape(*base_hw), rotation)
-            return calc_loss_on_attn_grid(r, target) + 0.001 * tv_loss_on_grid(attn)
-
-        ge = jax.grad(loss_fn)(e_attn, emap, k1)
-        ue, oe2 = optimizer.update(ge, oe, e_attn)
-        go = jax.grad(loss_fn)(o_attn, omap, k2)
-        uo, oo2 = optimizer.update(go, oo, o_attn)
-        return (
-            optax.apply_updates(e_attn, ue), optax.apply_updates(o_attn, uo),
-            oe2, oo2,
-        )
+    refine_iter = make_refine_iter_shearwarp(
+        sd, render_config, optimizer, optimizer, grid, base_hw,
+        timestamp=200, attn_tv_weight=0.001,
+    )
+    text = sd.get_text_embeds(
+        "a render of a dog wearing a party hat, front view", ""
+    )
+    idxs = jnp.arange(1, 9, dtype=jnp.int32)
+    emask = jnp.asarray(np.array([0, 0, 0, 0, 0, 0, 0, 1], np.float32))  # "hat"
+    omask = 1.0 - emask
 
     def one_iter(e_attn, o_attn, oe, oo, key):
-        pred_rgb = rgb_frame(grid.replace(attn=e_attn), rot, trans)
-        maps, _ = sd.get_attn_map(
-            "a render of a dog wearing a party hat, front view", pred_rgb,
-            key, timestamp=200, indices_to_fetch=list(range(1, 9)),
+        e, o, oe2, oo2, _ = refine_iter(
+            e_attn, o_attn, oe, oo, sd.params, text, rot, trans,
+            idxs, emask, omask, key,
         )
-        emap = jnp.max(jnp.stack(maps[:2], -1), -1)
-        omap = jnp.max(jnp.stack(maps[2:], -1), -1)
-        return attn_step(e_attn, o_attn, oe, oo, rot, trans, emap, omap, key)
+        return e, o, oe2, oo2
 
     e, o, oe, oo = one_iter(edit_attn, obj_attn, opt_e, opt_o, jax.random.PRNGKey(0))
     _ = np.asarray(e.ravel()[:1])

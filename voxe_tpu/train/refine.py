@@ -54,6 +54,125 @@ def calc_loss_on_attn_grid(attn_render, attn_map):
     return jnp.sum(diff_masked) / (jnp.sum(mask) + 1e-8)
 
 
+def make_refine_iter_shearwarp(
+    sd: StableDiffusion,
+    render_config,
+    optimizer_edit,
+    optimizer_object,
+    base_grid,
+    sw_hw: tuple,
+    timestamp: int,
+    attn_tv_weight: float,
+    mesh=None,
+):
+    """The COMPLETE refinement iteration as ONE jitted program.
+
+    Running the iteration as three separate dispatches (RGB render ->
+    attention-capture pass -> dual attn update, plus per-token map indexing)
+    measured 3.45 s/iter on the axon relay — dominated by per-dispatch relay
+    latency, not device time (r3, VOXE_BENCH_MODE=refine). Fusing render +
+    VAE encode + capture UNet + token aggregation + the masked-L1 dual
+    update into one program removes every intra-iteration host round-trip,
+    the same fix the SDS edit loop uses.
+
+    Token selection is traced data: `token_indices` [bucket] are the padded
+    CLIP token positions, `edit_mask`/`obj_mask` [bucket] select which
+    aggregated maps max-reduce into the edit/object targets (reference
+    attn_grid_trainer.py:314-329) — one compile per bucket size, not per
+    prompt/direction.
+
+    signature: iter(edit_attn, obj_attn, opt_e, opt_o, sd_params,
+                    text_embeddings [2,77,D], rotation [3,3],
+                    translation [3,1], token_indices [bucket],
+                    edit_mask [bucket], obj_mask [bucket], key)
+               -> (edit_attn, obj_attn, opt_e, opt_o, metrics)
+    """
+    from voxe_tpu.models.sd.cross_attn import aggregate_token_maps
+    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
+
+    sw_hw = tuple(sw_hw)
+    size = sd.config.image_size
+    t = jnp.asarray(timestamp)
+
+    def refine_iter(
+        edit_attn, obj_attn, opt_e, opt_o, sd_params, text_embeddings,
+        rotation, translation, token_indices, edit_mask, obj_mask, key,
+    ):
+        k_enc, k_noise, k1, k2 = jax.random.split(key, 4)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import replicate
+
+            edit_attn = replicate(mesh, edit_attn)
+            obj_attn = replicate(mesh, obj_attn)
+        pose = CameraPose(rotation=rotation, translation=translation)
+
+        # ---- no-grad RGB frame of the edited grid (reference :290-295)
+        out, _ = render_shear_warp(
+            base_grid.replace(attn=jax.lax.stop_gradient(edit_attn)),
+            pose, render_config, base_hw=sw_hw, mesh=mesh,
+        )
+        pred_rgb = orient_base_image(out.colour.reshape(*sw_hw, 3), rotation)[None]
+
+        # ---- SD cross-attention maps at fixed timestamp (sd.py:138-171)
+        pred_512 = jax.image.resize(pred_rgb, (1, size, size, 3), "bilinear")
+        latents = sd.encode_imgs(sd_params["vae"], pred_512, key=k_enc)
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        latents_noisy = sd.scheduler.add_noise(latents, noise, t)
+        latent_in = jnp.concatenate([latents_noisy] * 2, axis=0)
+        _, attn_maps = sd.unet_noise_pred(
+            sd_params["unet"], latent_in, t, text_embeddings, capture_attn=True
+        )
+        maps = aggregate_token_maps(
+            attn_maps, token_indices, orig_im_h=sw_hw[0], orig_im_w=sw_hw[1]
+        )  # [bucket, U, V]
+        neg = jnp.asarray(-1e9, maps.dtype)
+        edit_map = jnp.max(
+            jnp.where(edit_mask[:, None, None] > 0, maps, neg), axis=0
+        )
+        obj_map = jnp.max(
+            jnp.where(obj_mask[:, None, None] > 0, maps, neg), axis=0
+        )
+        # no non-edit tokens -> zero object target (attn_grid_trainer.py:329)
+        obj_map = jnp.where(jnp.sum(obj_mask) > 0, obj_map, jnp.zeros_like(obj_map))
+        edit_map = jax.lax.stop_gradient(edit_map)
+        obj_map = jax.lax.stop_gradient(obj_map)
+
+        # ---- dual attn-grid update (reference :335-378)
+        def loss_fn(attn, target_map, k):
+            grid = base_grid.replace(attn=attn)
+            aout, _ = render_shear_warp(
+                grid, pose, render_config, base_hw=sw_hw, key=k,
+                mesh=mesh, attn_mode=True, background_value=0.0,
+            )
+            attn_render = orient_base_image(
+                aout.colour[..., 0].reshape(*sw_hw), rotation
+            )
+            attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
+            tv = tv_loss_on_grid(attn)
+            return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
+
+        (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(edit_attn, edit_map, k1)
+        updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
+        new_edit_attn = optax.apply_updates(edit_attn, updates_e)
+
+        (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(obj_attn, obj_map, k2)
+        updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
+        new_obj_attn = optax.apply_updates(obj_attn, updates_o)
+
+        metrics = dict(
+            attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
+            attn_loss_object=attn_l_o, tv_loss_object=tv_o,
+            total_loss_object=loss_o,
+        )
+        return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
+
+    return jax.jit(refine_iter)
+
+
 def refine_edited_relu_field(
     vol_mod_edit: VolumetricModel,
     vol_mod_object: VolumetricModel,
@@ -217,53 +336,9 @@ def refine_edited_relu_field(
     if use_shear_warp:
         from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
-        @jax.jit
-        def attn_train_step_sw(
-            edit_attn, obj_attn, opt_e, opt_o, rotation, translation,
-            edit_map, obj_map, key,
-        ):
-            k1, k2 = jax.random.split(key)
-            if mesh is not None:
-                from voxe_tpu.parallel.mesh import replicate
-
-                edit_attn = replicate(mesh, edit_attn)
-                obj_attn = replicate(mesh, obj_attn)
-            pose = CameraPose(rotation=rotation, translation=translation)
-
-            def loss_fn(attn, target_map, k):
-                grid = base_grid.replace(attn=attn)
-                out, _ = render_shear_warp(
-                    grid, pose, render_config, base_hw=sw_hw, key=k,
-                    mesh=mesh, attn_mode=True, background_value=0.0,
-                )
-                # SD's maps are in the ORIENTED frame (rgb_frame_sw below);
-                # orient the attn render identically before the masked L1
-                attn_render = orient_base_image(
-                    out.colour[..., 0].reshape(*sw_hw), rotation
-                )
-                attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
-                tv = tv_loss_on_grid(attn)
-                return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
-
-            (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(edit_attn, edit_map, k1)
-            updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
-            new_edit_attn = optax.apply_updates(edit_attn, updates_e)
-
-            (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(obj_attn, obj_map, k2)
-            updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
-            new_obj_attn = optax.apply_updates(obj_attn, updates_o)
-
-            metrics = dict(
-                attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
-                attn_loss_object=attn_l_o, tv_loss_object=tv_o,
-                total_loss_object=loss_o,
-            )
-            return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
-
+        # (the dual attn update itself lives inside make_refine_iter_shearwarp
+        # — the whole iteration is one dispatch; these two helpers serve the
+        # feedback visualizations only)
         @jax.jit
         def rgb_frame_sw(grid, rotation, translation):
             out, _ = render_shear_warp(
@@ -295,6 +370,36 @@ def refine_edited_relu_field(
     if data_pose_mode:
         batch_iter = train_dataset.iter_batches(1, rng)
 
+    if use_shear_warp:
+        # the fused one-dispatch iteration (see make_refine_iter_shearwarp:
+        # the 3-dispatch structure costs 3.45 s/iter of relay latency).
+        # One static token bucket across the four direction prompts.
+        refine_iter = make_refine_iter_shearwarp(
+            sd, render_config, optimizer_edit, optimizer_object, base_grid,
+            sw_hw, timestamp, attn_tv_weight, mesh=mesh,
+        )
+        dir_num_tokens = {
+            d: sd.get_num_tokens(prompt + f", {d} view")
+            for d in ("side", "overhead", "back", "front")
+        }
+        token_bucket = 8 * ((max(dir_num_tokens.values()) + 7) // 8)
+
+        def token_selection(direction):
+            n_tok = dir_num_tokens[direction]
+            idxs = np.zeros(token_bucket, np.int32)
+            idxs[:n_tok] = np.arange(1, n_tok + 1)
+            emask = np.zeros(token_bucket, np.float32)
+            omask = np.zeros(token_bucket, np.float32)
+            for i in range(n_tok):
+                if (i + 1) in edit_idx:
+                    emask[i] = 1.0
+            if object_idx is not None:
+                if object_idx <= n_tok:
+                    omask[object_idx - 1] = 1.0
+            else:
+                omask[:n_tok] = 1.0 - emask[:n_tok]
+            return jnp.asarray(idxs), jnp.asarray(emask), jnp.asarray(omask)
+
     log.info(
         f"beginning attn-grid refinement: grid {base_grid.grid_dims}, "
         f"frame [{im_h} x {im_w}], prompt '{prompt}', edit_idx {edit_idx}"
@@ -313,9 +418,22 @@ def refine_edited_relu_field(
             pose, direction, _, _ = get_random_pose(HEMISPHERICAL_RADIUS_CONSTANT, rng)
         rot = jnp.asarray(pose.rotation)
         trans = jnp.asarray(pose.translation).reshape(3, 1)
+        m_prompt = prompt + f", {direction} view"
+        key, k_attn, k_step = jax.random.split(key, 3)
+
         if use_shear_warp:
-            rays = None
-            pred_rgb = rgb_frame_sw(base_grid.replace(attn=edit_attn), rot, trans)
+            # the whole iteration — RGB render, attention capture, token
+            # aggregation, dual attn update — is ONE device dispatch
+            idxs, emask, omask = token_selection(direction)
+            text_embeddings = sd.get_text_embeds(m_prompt, "")
+            edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
+                refine_iter(
+                    edit_attn, obj_attn, opt_state_edit, opt_state_object,
+                    sd.params, text_embeddings, rot, trans,
+                    idxs, emask, omask, k_step,
+                )
+            )
+            edit_attn_map = object_attn_map = None  # feedback recomputes them
         else:
             rays = flatten_rays(cast_rays(camera_intrinsics, rot, trans))
 
@@ -326,39 +444,29 @@ def refine_edited_relu_field(
             rendered = rgb_model.render(camera_intrinsics, pose)
             pred_rgb = rendered.colour[None]  # [1, H, W, 3]
 
-        # ---- SD cross-attention maps (reference :301-329)
-        m_prompt = prompt + f", {direction} view"
-        num_tokens = sd.get_num_tokens(m_prompt)
-        indices_to_fetch = list(range(1, num_tokens + 1))
-        key, k_attn, k_step = jax.random.split(key, 3)
-        gt_maps, _ = sd.get_attn_map(
-            m_prompt, pred_rgb, k_attn, timestamp=timestamp,
-            indices_to_fetch=indices_to_fetch,
-        )
-
-        edit_maps = [gt_maps[idx - 1] for idx in edit_idx]
-        edit_attn_map = jnp.max(jnp.stack(edit_maps, axis=-1), axis=-1)
-        if object_idx is None:
-            non_edit = [
-                gt_maps[idx - 1]
-                for idx in range(1, num_tokens + 1)
-                if idx not in edit_idx
-            ]
-            if not non_edit:
-                non_edit = [jnp.zeros_like(edit_attn_map)]
-            object_attn_map = jnp.max(jnp.stack(non_edit, axis=-1), axis=-1)
-        else:
-            object_attn_map = gt_maps[object_idx - 1]
-
-        # ---- jitted dual attn update (reference :335-378)
-        if use_shear_warp:
-            edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
-                attn_train_step_sw(
-                    edit_attn, obj_attn, opt_state_edit, opt_state_object,
-                    rot, trans, edit_attn_map, object_attn_map, k_step,
-                )
+            # ---- SD cross-attention maps (reference :301-329)
+            num_tokens = sd.get_num_tokens(m_prompt)
+            indices_to_fetch = list(range(1, num_tokens + 1))
+            gt_maps, _ = sd.get_attn_map(
+                m_prompt, pred_rgb, k_attn, timestamp=timestamp,
+                indices_to_fetch=indices_to_fetch,
             )
-        else:
+
+            edit_maps = [gt_maps[idx - 1] for idx in edit_idx]
+            edit_attn_map = jnp.max(jnp.stack(edit_maps, axis=-1), axis=-1)
+            if object_idx is None:
+                non_edit = [
+                    gt_maps[idx - 1]
+                    for idx in range(1, num_tokens + 1)
+                    if idx not in edit_idx
+                ]
+                if not non_edit:
+                    non_edit = [jnp.zeros_like(edit_attn_map)]
+                object_attn_map = jnp.max(jnp.stack(non_edit, axis=-1), axis=-1)
+            else:
+                object_attn_map = gt_maps[object_idx - 1]
+
+            # ---- jitted dual attn update (reference :335-378)
             edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
                 attn_train_step(
                     edit_attn, obj_attn, opt_state_edit, opt_state_object,
@@ -387,6 +495,30 @@ def refine_edited_relu_field(
             from voxe_tpu.viz.static import (
                 visualize_sh_vox_grid_vol_mod_rendered_feedback_attn,
             )
+
+            if use_shear_warp:
+                # the fused iteration keeps the maps on-device; recompute
+                # them here (feedback-frequency only) for the diagnostics
+                pred_rgb = rgb_frame_sw(
+                    base_grid.replace(attn=edit_attn), rot, trans
+                )
+                num_tokens = sd.get_num_tokens(m_prompt)
+                gt_maps, _ = sd.get_attn_map(
+                    m_prompt, pred_rgb, k_attn, timestamp=timestamp,
+                    indices_to_fetch=list(range(1, num_tokens + 1)),
+                )
+                edit_attn_map = jnp.max(
+                    jnp.stack([gt_maps[i - 1] for i in edit_idx], -1), -1
+                )
+                if object_idx is None:
+                    non_edit = [
+                        gt_maps[i - 1]
+                        for i in range(1, num_tokens + 1)
+                        if i not in edit_idx
+                    ] or [jnp.zeros_like(edit_attn_map)]
+                    object_attn_map = jnp.max(jnp.stack(non_edit, -1), -1)
+                else:
+                    object_attn_map = gt_maps[object_idx - 1]
 
             # edit/object/diff target maps (reference refinement_functions.py:19-39)
             visualize_attention_maps(
