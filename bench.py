@@ -38,8 +38,14 @@ logging.basicConfig(stream=sys.stderr, level=logging.WARNING, force=True)
 
 # reference README.md:91-92: ~50 min / 8000 iters on RTX A5000
 REFERENCE_EDIT_MS_PER_ITER = 375.0
-# recon mode: no published reference number exists; vs_baseline uses the
-# reference cost model at ~10 it/s x 32768 rays (ESTIMATE - see BASELINE.md)
+# recon mode: no published reference number exists; vs_baseline divides by
+# the reference cost model at ~10 it/s x 32768 rays on A5000 (ESTIMATE).
+# Two MEASURED anchors bound it (BASELINE.md): (a) the reference's actual
+# torch step on THIS host's CPU runs 8192 rays in 322 ms = 25.4k rays/s —
+# a measured floor 13x below the estimate used here, so the divisor is
+# conservative in the reference's favour; (b) at the reference's own full
+# 4x2000-iteration budget the framework reaches 38.76 dB held-out in 25.7
+# min end-to-end (BENCHMARKS.md "Full reference budget").
 REFERENCE_RAYS_PER_SEC_EST = 0.33e6
 
 

@@ -23,6 +23,7 @@ def main() -> None:
     p.add_argument("--image", type=int, default=128)
     p.add_argument("--iters", type=int, default=150, help="iterations per stage")
     p.add_argument("--grid", type=int, default=160)
+    p.add_argument("--views", type=int, default=16, help="training views (reference scenes have ~100)")
     p.add_argument("--out", type=str, default="/tmp/voxe_quality_sw")
     p.add_argument("--cpu", action="store_true", help="force everything on CPU")
     p.add_argument("--base", type=int, default=None,
@@ -61,7 +62,7 @@ def main() -> None:
         print("generating synthetic scene ...")
         with jax.default_device(jax.devices("cpu")[0]):
             generate_synthetic_scene(
-                scene, num_train=16, num_test=4, image_size=args.image,
+                scene, num_train=args.views, num_test=4, image_size=args.image,
                 focal=float(args.image), grid_res=48,
             )
     train_ds = PosedImagesDataset(
