@@ -302,37 +302,65 @@ def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
     trans = jnp.asarray(pose.translation).reshape(3, 1)
     base_hw = (frame, frame)
 
-    # the fused one-dispatch iteration the trainer itself uses — the
-    # 3-dispatch structure measured 3.45 s/iter of pure relay dispatch
-    # latency (r3), ~40x the device time
-    from voxe_tpu.train.refine import make_refine_iter_shearwarp
+    # the trainer's flagship refinement program: K fused iterations per
+    # dispatch (steps_per_call). K=1 times the single fused iteration —
+    # whose per-dispatch relay latency is exactly what the K-step scan
+    # amortizes away (BENCHMARKS.md refinement table, "relay anomaly").
+    K = int(os.environ.get("VOXE_BENCH_REFINE_K", "10"))
+    prompt = "a render of a dog wearing a party hat"
+    emask1 = jnp.asarray(np.array([0, 0, 0, 0, 0, 0, 0, 1], np.float32))  # "hat"
 
-    refine_iter = make_refine_iter_shearwarp(
-        sd, render_config, optimizer, optimizer, grid, base_hw,
-        timestamp=200, attn_tv_weight=0.001,
-    )
-    text = sd.get_text_embeds(
-        "a render of a dog wearing a party hat, front view", ""
-    )
-    idxs = jnp.arange(1, 9, dtype=jnp.int32)
-    emask = jnp.asarray(np.array([0, 0, 0, 0, 0, 0, 0, 1], np.float32))  # "hat"
-    omask = 1.0 - emask
+    if K > 1:
+        from voxe_tpu.train.refine import make_refine_multi_step
 
-    def one_iter(e_attn, o_attn, oe, oo, key):
-        e, o, oe2, oo2, _ = refine_iter(
-            e_attn, o_attn, oe, oo, sd.params, text, rot, trans,
-            idxs, emask, omask, key,
+        multi = make_refine_multi_step(
+            sd, render_config, optimizer, optimizer, grid, base_hw,
+            timestamp=200, attn_tv_weight=0.001, steps_per_call=K,
+            radius=4.0311,
         )
-        return e, o, oe2, oo2
+        dirs = ("side", "overhead", "back", "front")
+        text_by_dir = jnp.stack(
+            [sd.get_text_embeds(prompt + f", {d} view", "") for d in dirs]
+        )
+        idxs = jnp.tile(jnp.arange(1, 9, dtype=jnp.int32)[None], (4, 1))
+        emask = jnp.tile(emask1[None], (4, 1))
+        omask = 1.0 - emask
 
-    e, o, oe, oo = one_iter(edit_attn, obj_attn, opt_e, opt_o, jax.random.PRNGKey(0))
+        def one_call(e_attn, o_attn, oe, oo, key):
+            e, o, oe2, oo2, _ = multi(
+                e_attn, o_attn, oe, oo, sd.params, text_by_dir,
+                idxs, emask, omask, key,
+            )
+            return e, o, oe2, oo2
+
+    else:
+        from voxe_tpu.train.refine import make_refine_iter_shearwarp
+
+        refine_iter = make_refine_iter_shearwarp(
+            sd, render_config, optimizer, optimizer, grid, base_hw,
+            timestamp=200, attn_tv_weight=0.001,
+        )
+        text = sd.get_text_embeds(prompt + ", front view", "")
+        idxs = jnp.arange(1, 9, dtype=jnp.int32)
+        emask = emask1
+        omask = 1.0 - emask
+
+        def one_call(e_attn, o_attn, oe, oo, key):
+            e, o, oe2, oo2, _ = refine_iter(
+                e_attn, o_attn, oe, oo, sd.params, text, rot, trans,
+                idxs, emask, omask, key,
+            )
+            return e, o, oe2, oo2
+
+    e, o, oe, oo = one_call(edit_attn, obj_attn, opt_e, opt_o, jax.random.PRNGKey(0))
     _ = np.asarray(e.ravel()[:1])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        e, o, oe, oo = one_iter(e, o, oe, oo, jax.random.PRNGKey(i))
+        e, o, oe, oo = one_call(e, o, oe, oo, jax.random.PRNGKey(i))
     _ = np.asarray(e.ravel()[:1])
-    ms = (time.perf_counter() - t0) / iters * 1e3
+    ms = (time.perf_counter() - t0) / (iters * K) * 1e3
+    print(f"refine: {iters} dispatches x {K} fused steps", file=sys.stderr)
 
     # one-off native graph cut at production voxel count (sphere r=40 voxels
     # in the 160^3 grid: ~270k non-empty nodes)

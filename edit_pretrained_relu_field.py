@@ -169,8 +169,8 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
 @click.option("--sd_version", type=click.STRING, required=False, default="2.0",
               help="stable diffusion version for the SDS stage", show_default=True)
 @click.option("--steps_per_call", type=click.INT, required=False, default=1,
-              help="edit iterations fused into one device dispatch (random-pose "
-              "directional mode only)", show_default=True)
+              help="edit/refinement iterations fused into one device dispatch "
+              "(random-pose directional mode only)", show_default=True)
 @click.option("--multihost", type=click.BOOL, required=False, default=False,
               help="initialize jax.distributed for multi-host (SPMD) execution; "
               "run the same command on every host", show_default=True)
@@ -327,6 +327,7 @@ def main(**kwargs) -> None:
             mesh=edit_mesh,
             use_shear_warp=config.use_shear_warp,
             shear_warp_base_res=config.shear_warp_base_res,
+            steps_per_call=config.steps_per_call,
         )
 
     if config.post_process_scc:

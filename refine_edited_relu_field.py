@@ -106,6 +106,9 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
               help="run the refinement renders (RGB frame for attention "
               "extraction + differentiable attn renders) on the gather/"
               "scatter-free shear-warp path", show_default=True)
+@click.option("--steps_per_call", type=click.INT, required=False, default=1,
+              help="refinement iterations fused into one device dispatch "
+              "(shear-warp random-pose mode only)", show_default=True)
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -186,6 +189,7 @@ def main(**kwargs) -> None:
         num_devices=config.num_devices,
         use_shear_warp=config.use_shear_warp,
         shear_warp_base_res=config.shear_warp_base_res,
+        steps_per_call=config.steps_per_call,
     )
 
 

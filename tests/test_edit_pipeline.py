@@ -204,3 +204,121 @@ def test_refinement_sharded_matches_unsharded(dataset, sd, tmp_path):
     single = run(None, tmp_path / "r1")
     sharded = run(make_mesh(8), tmp_path / "r8")
     np.testing.assert_allclose(single, sharded, atol=3e-5)
+
+
+def test_refine_multi_step_matches_manual_loop(dataset, sd):
+    """The fused K-step refinement scan (make_refine_multi_step) reproduces
+    K manual calls of the single fused iteration fed the same per-step keys,
+    poses, and direction-selected token data."""
+    import jax
+    import optax
+
+    from voxe_tpu.train.refine import (
+        make_refine_iter_shearwarp,
+        make_refine_multi_step,
+    )
+    from voxe_tpu.train.sds import HEMISPHERICAL_RADIUS_CONSTANT
+    from voxe_tpu.utils.camera import random_pose_jax
+
+    K = 3
+    model = _pretrained_model(dataset)
+    base_grid = model.grid.replace(
+        attn=jnp.full_like(model.grid.densities, -20.0)
+    )
+    opt_e = optax.adam(1e-2)
+    opt_o = optax.adam(1e-2)
+    sw_hw = (32, 32)
+    prompt = "a dog wearing a party hat"
+    dirs = ("side", "overhead", "back", "front")
+    text_by_dir = jnp.stack(
+        [sd.get_text_embeds(prompt + f", {d} view", "") for d in dirs]
+    )
+    bucket = 8
+    idxs = jnp.tile(jnp.arange(1, bucket + 1, dtype=jnp.int32)[None], (4, 1))
+    emask = jnp.zeros((4, bucket)).at[:, 3:5].set(1.0)
+    omask = 1.0 - emask
+
+    common = (sd, model.render_config, opt_e, opt_o, base_grid, sw_hw, 200, 1e-3)
+    multi = make_refine_multi_step(
+        *common, steps_per_call=K, radius=HEMISPHERICAL_RADIUS_CONSTANT
+    )
+    single = make_refine_iter_shearwarp(*common)
+
+    edit_attn = base_grid.attn
+    obj_attn = base_grid.attn
+    st_e = opt_e.init(edit_attn)
+    st_o = opt_o.init(obj_attn)
+    key = jax.random.PRNGKey(7)
+
+    got = multi(
+        edit_attn, obj_attn, st_e, st_o, sd.params,
+        text_by_dir, idxs, emask, omask, key,
+    )
+
+    # manual replay with the body's exact key/pose/direction derivation
+    e, o, se, so = edit_attn, obj_attn, st_e, st_o
+    for step_key in jax.random.split(key, K):
+        k_pose, k_iter = jax.random.split(step_key)
+        rot, trans, pitch_deg, yaw_deg = random_pose_jax(
+            k_pose, HEMISPHERICAL_RADIUS_CONSTANT
+        )
+        d = 3
+        if 45.0 < float(yaw_deg) < 315.0:
+            d = 0
+        if 120.0 < float(yaw_deg) < 240.0:
+            d = 2
+        if float(pitch_deg) < 25.0:
+            d = 1
+        e, o, se, so, _ = single(
+            e, o, se, so, sd.params, text_by_dir[d], rot,
+            trans.reshape(3, 1), idxs[d], emask[d], omask[d], k_iter,
+        )
+
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(e), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(o), atol=2e-5)
+
+
+def test_refinement_fused_end_to_end(dataset, sd, tmp_path):
+    """The trainer's fused path (steps_per_call > 1) runs the whole
+    refinement stage — chunked scan loop, graph cut, merge, saves."""
+    from voxe_tpu.train.refine import refine_edited_relu_field
+
+    pretrained = _pretrained_model(dataset)
+    edited = _pretrained_model(dataset)
+    attn = jnp.full_like(edited.grid.densities, -20.0)
+
+    def with_attn(model):
+        return VolumetricModel(
+            model.grid.replace(attn=attn), model.render_config
+        )
+
+    vm_edit, vm_obj, vm_out = (
+        with_attn(edited), with_attn(edited), with_attn(edited),
+    )
+    refine_edited_relu_field(
+        vol_mod_edit=vm_edit,
+        vol_mod_object=vm_obj,
+        vol_mod_output=vm_out,
+        vol_mod_ref=pretrained,
+        train_dataset=dataset,
+        output_dir=tmp_path / "refine_fused",
+        prompt="a dog wearing a party hat",
+        edit_idx=[4, 5],
+        timestamp=200,
+        image_dims=(32, 32),
+        num_iterations=4,
+        summary_freq=2,
+        feedback_freq=100,
+        save_freq=100,
+        num_obj_voxels_thresh=100,
+        min_num_edit_voxels=5,
+        top_k_edit_thresh=20,
+        top_k_obj_thresh=20,
+        sd_model=sd,
+        fast_debug_mode=True,
+        use_shear_warp=True,
+        steps_per_call=2,
+    )
+    saved = tmp_path / "refine_fused" / "saved_models"
+    assert (saved / "model_final_refined.pth").exists()
+    assert not np.allclose(np.asarray(vm_edit.grid.attn), np.asarray(attn))

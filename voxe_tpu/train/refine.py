@@ -54,7 +54,7 @@ def calc_loss_on_attn_grid(attn_render, attn_map):
     return jnp.sum(diff_masked) / (jnp.sum(mask) + 1e-8)
 
 
-def make_refine_iter_shearwarp(
+def _make_refine_core(
     sd: StableDiffusion,
     render_config,
     optimizer_edit,
@@ -65,7 +65,9 @@ def make_refine_iter_shearwarp(
     attn_tv_weight: float,
     mesh=None,
 ):
-    """The COMPLETE refinement iteration as ONE jitted program.
+    """The COMPLETE refinement iteration as one traceable function (un-jitted;
+    `make_refine_iter_shearwarp` jits it directly, `make_refine_multi_step`
+    scans K of them per dispatch).
 
     Running the iteration as three separate dispatches (RGB render ->
     attention-capture pass -> dual attn update, plus per-token map indexing)
@@ -170,7 +172,92 @@ def make_refine_iter_shearwarp(
         )
         return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
 
-    return jax.jit(refine_iter)
+    return refine_iter
+
+
+def make_refine_iter_shearwarp(*args, **kwargs):
+    """One fused refinement iteration per dispatch (see _make_refine_core)."""
+    return jax.jit(_make_refine_core(*args, **kwargs))
+
+
+def make_refine_multi_step(
+    sd: StableDiffusion,
+    render_config,
+    optimizer_edit,
+    optimizer_object,
+    base_grid,
+    sw_hw: tuple,
+    timestamp: int,
+    attn_tv_weight: float,
+    steps_per_call: int,
+    radius: float,
+    mesh=None,
+):
+    """K fully-fused refinement iterations per dispatch (random-pose mode).
+
+    Same rationale as the SDS loop's `make_sds_train_multi_step`
+    (sds.py:431): per-dispatch relay latency dominates this small program
+    (the fused single iteration costs ~15 ms of device work by XLA's own
+    cost analysis but 0.2-4 s of observed relay dispatch), so the
+    hemisphere pose draw, view-direction bucketing, and per-direction
+    text/token selection all move INSIDE one lax.scan body and an entire
+    chunk of the 1500-iteration refinement loop becomes a single dispatch.
+
+    Direction-dependent traced data rides in stacked by the same bucket
+    order as the SDS path ("side","overhead","back","front" = 0..3,
+    reference imaging_utils.py:206-214):
+      text_by_dir    [4, 2, 77, D]
+      idxs_by_dir    [4, bucket]   padded CLIP token positions
+      emask_by_dir   [4, bucket]   edit-token selector
+      omask_by_dir   [4, bucket]   object-token selector
+
+    signature: multi(edit_attn, obj_attn, opt_e, opt_o, sd_params,
+                     text_by_dir, idxs_by_dir, emask_by_dir, omask_by_dir,
+                     key)
+               -> (edit_attn, obj_attn, opt_e, opt_o, last-step metrics)
+    """
+    from voxe_tpu.utils.camera import random_pose_jax
+
+    core = _make_refine_core(
+        sd, render_config, optimizer_edit, optimizer_object, base_grid,
+        sw_hw, timestamp, attn_tv_weight, mesh=mesh,
+    )
+
+    def body(carry, step_key):
+        (edit_attn, obj_attn, opt_e, opt_o, sd_params,
+         text_by_dir, idxs_by_dir, emask_by_dir, omask_by_dir) = carry
+        k_pose, k_iter = jax.random.split(step_key)
+        rotation, translation, pitch_deg, yaw_deg = random_pose_jax(k_pose, radius)
+        # view-direction bucket (reference imaging_utils.py:206-214)
+        dir_idx = jnp.asarray(3)
+        dir_idx = jnp.where((yaw_deg > 45.0) & (yaw_deg < 315.0), 0, dir_idx)
+        dir_idx = jnp.where((yaw_deg > 120.0) & (yaw_deg < 240.0), 2, dir_idx)
+        dir_idx = jnp.where(pitch_deg < 25.0, 1, dir_idx)
+
+        edit_attn, obj_attn, opt_e, opt_o, metrics = core(
+            edit_attn, obj_attn, opt_e, opt_o, sd_params,
+            text_by_dir[dir_idx], rotation, translation.reshape(3, 1),
+            idxs_by_dir[dir_idx], emask_by_dir[dir_idx], omask_by_dir[dir_idx],
+            k_iter,
+        )
+        metrics["dir_idx"] = dir_idx
+        return (
+            (edit_attn, obj_attn, opt_e, opt_o, sd_params,
+             text_by_dir, idxs_by_dir, emask_by_dir, omask_by_dir),
+            metrics,
+        )
+
+    def multi_step(
+        edit_attn, obj_attn, opt_e, opt_o, sd_params,
+        text_by_dir, idxs_by_dir, emask_by_dir, omask_by_dir, key,
+    ):
+        keys = jax.random.split(key, steps_per_call)
+        carry = (edit_attn, obj_attn, opt_e, opt_o, sd_params,
+                 text_by_dir, idxs_by_dir, emask_by_dir, omask_by_dir)
+        carry, metrics = jax.lax.scan(body, carry, keys)
+        return (*carry[:4], jax.tree_util.tree_map(lambda m: m[-1], metrics))
+
+    return jax.jit(multi_step)
 
 
 def refine_edited_relu_field(
@@ -218,6 +305,7 @@ def refine_edited_relu_field(
     num_devices: int = 1,
     use_shear_warp: bool = True,
     shear_warp_base_res: Optional[int] = None,
+    steps_per_call: int = 1,
 ) -> None:
     """Train edit/object attn grids against SD cross-attention maps, then
     graph-cut + merge (reference attn_grid_trainer.py:63-627).
@@ -400,14 +488,178 @@ def refine_edited_relu_field(
                 omask[:n_tok] = 1.0 - emask[:n_tok]
             return jnp.asarray(idxs), jnp.asarray(emask), jnp.asarray(omask)
 
+    # K-step fusion (random-pose mode only, like the SDS loop's use_fused):
+    # pose draw + direction bucketing move in-jit, so a chunk of the
+    # refinement loop is ONE dispatch — this amortizes the per-dispatch
+    # relay latency that dominates the single fused iteration.
+    use_fused = use_shear_warp and steps_per_call > 1 and not data_pose_mode
+    if use_fused:
+        multi_refine = make_refine_multi_step(
+            sd, render_config, optimizer_edit, optimizer_object, base_grid,
+            sw_hw, timestamp, attn_tv_weight, steps_per_call,
+            HEMISPHERICAL_RADIUS_CONSTANT, mesh=mesh,
+        )
+        dirs = ("side", "overhead", "back", "front")
+        text_by_dir = jnp.stack(
+            [sd.get_text_embeds(prompt + f", {d} view", "") for d in dirs]
+        )
+        sels = [token_selection(d) for d in dirs]
+        idxs_by_dir = jnp.stack([s[0] for s in sels])
+        emask_by_dir = jnp.stack([s[1] for s in sels])
+        omask_by_dir = jnp.stack([s[2] for s in sels])
+
+    def emit_feedback(
+        global_step, pose, rot, trans, m_prompt, k_attn, edit_attn, obj_attn,
+        edit_attn_map=None, object_attn_map=None, rays=None,
+    ):
+        """Feedback diagnostics (reference refinement_functions.py:19-87):
+        target attention maps, per-grid attn-render diagnostics, edit-vs-
+        object render diff, and the rendered feedback frame. Shared by the
+        per-iteration and fused-K-step loops (the fused loop draws a fresh
+        host-side pose since its training poses live in-jit)."""
+        from voxe_tpu.viz.refinement import (
+            visualize_attention_maps,
+            visualize_attn_render_diagnostics,
+            visualize_render_diff,
+        )
+        from voxe_tpu.viz.static import (
+            visualize_sh_vox_grid_vol_mod_rendered_feedback_attn,
+        )
+
+        if use_shear_warp:
+            # the fused iteration keeps the maps on-device; recompute
+            # them here (feedback-frequency only) for the diagnostics
+            pred_rgb = rgb_frame_sw(
+                base_grid.replace(attn=edit_attn), rot, trans
+            )
+            num_tokens = sd.get_num_tokens(m_prompt)
+            gt_maps, _ = sd.get_attn_map(
+                m_prompt, pred_rgb, k_attn, timestamp=timestamp,
+                indices_to_fetch=list(range(1, num_tokens + 1)),
+            )
+            edit_attn_map = jnp.max(
+                jnp.stack([gt_maps[i - 1] for i in edit_idx], -1), -1
+            )
+            if object_idx is None:
+                non_edit = [
+                    gt_maps[i - 1]
+                    for i in range(1, num_tokens + 1)
+                    if i not in edit_idx
+                ] or [jnp.zeros_like(edit_attn_map)]
+                object_attn_map = jnp.max(jnp.stack(non_edit, -1), -1)
+            else:
+                object_attn_map = gt_maps[object_idx - 1]
+
+        # edit/object/diff target maps (reference refinement_functions.py:19-39)
+        visualize_attention_maps(
+            edit_attn_map, object_attn_map, global_step, render_dir
+        )
+
+        # attn-grid render diagnostics at the current pose (reference
+        # refinement_functions.py:42-87): mask / pred / masked-diff per
+        # grid + edit-vs-object render difference
+        if use_shear_warp:
+            edit_render = attn_frame_sw(
+                base_grid.replace(attn=edit_attn), rot, trans
+            )
+            obj_render = attn_frame_sw(
+                base_grid.replace(attn=obj_attn), rot, trans
+            )
+        else:
+            edit_render = render_sh_voxel_grid_attn(
+                base_grid.replace(attn=edit_attn), rays, render_config
+            ).colour[..., 0].reshape(im_h, im_w)
+            obj_render = render_sh_voxel_grid_attn(
+                base_grid.replace(attn=obj_attn), rays, render_config
+            ).colour[..., 0].reshape(im_h, im_w)
+        visualize_attn_render_diagnostics(
+            edit_render, edit_attn_map, "edit", global_step, render_dir
+        )
+        visualize_attn_render_diagnostics(
+            obj_render, object_attn_map, "object", global_step, render_dir
+        )
+        visualize_render_diff(edit_render, obj_render, global_step, render_dir)
+
+        feedback_pose = render_feedback_pose or pose
+        visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
+            VolumetricModel(base_grid.replace(attn=edit_attn), render_config),
+            "attn",
+            feedback_pose,
+            camera_intrinsics,
+            global_step,
+            render_dir,
+        )
+
     log.info(
         f"beginning attn-grid refinement: grid {base_grid.grid_dims}, "
         f"frame [{im_h} x {im_w}], prompt '{prompt}', edit_idx {edit_idx}"
+        + (f", fused {steps_per_call} steps/dispatch" if use_fused else "")
     )
     time_training = 0.0
     last_time = time.perf_counter()
 
-    for global_step in range(1, num_iterations + 1):
+    if use_fused:
+        for chunk_start in range(1, num_iterations + 1, steps_per_call):
+            chunk = min(steps_per_call, num_iterations - chunk_start + 1)
+            key, k_step = jax.random.split(key)
+            edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
+                multi_refine(
+                    edit_attn, obj_attn, opt_state_edit, opt_state_object,
+                    sd.params, text_by_dir, idxs_by_dir, emask_by_dir,
+                    omask_by_dir, k_step,
+                )
+            )
+            global_step = chunk_start + chunk - 1
+            time_training += time.perf_counter() - last_time
+            last_iter = global_step >= num_iterations
+
+            if (
+                global_step % summary_freq < steps_per_call
+                or chunk_start == 1
+                or last_iter
+            ):
+                log.info(
+                    f"Iteration: {global_step} attn_loss: "
+                    f"{float(metrics['attn_loss_edit']):.4f} "
+                    f"obj: {float(metrics['attn_loss_object']):.4f}"
+                )
+
+            if (
+                global_step % feedback_freq < steps_per_call
+                or chunk_start == 1
+                or last_iter
+            ) and not fast_debug_mode:
+                pose, direction, _, _ = get_random_pose(
+                    HEMISPHERICAL_RADIUS_CONSTANT, rng
+                )
+                rot = jnp.asarray(pose.rotation)
+                trans = jnp.asarray(pose.translation).reshape(3, 1)
+                key, k_attn = jax.random.split(key)
+                emit_feedback(
+                    global_step, pose, rot, trans,
+                    prompt + f", {direction} view", k_attn,
+                    edit_attn, obj_attn,
+                )
+
+            if global_step % save_freq < steps_per_call or last_iter:
+                VolumetricModel(
+                    base_grid.replace(attn=edit_attn), render_config
+                ).save(
+                    model_dir / f"model_edit_iter_{global_step}.pth",
+                    extra_info=extra_info,
+                )
+                VolumetricModel(
+                    base_grid.replace(attn=obj_attn), render_config
+                ).save(
+                    model_dir / f"model_object_iter_{global_step}.pth",
+                    extra_info=extra_info,
+                )
+
+            last_time = time.perf_counter()
+
+    # (fused mode consumed the whole budget above; this per-iteration loop
+    # serves the exact path, data-pose mode, and steps_per_call=1)
+    for global_step in range(1, num_iterations + 1) if not use_fused else ():
         # ---- pose (reference :253-284)
         if data_pose_mode:
             batch_idx = next(batch_iter)
@@ -487,77 +739,10 @@ def refine_edited_relu_field(
         if (
             global_step % feedback_freq == 0 or global_step == 1 or last_iter
         ) and not fast_debug_mode:
-            from voxe_tpu.viz.refinement import (
-                visualize_attention_maps,
-                visualize_attn_render_diagnostics,
-                visualize_render_diff,
-            )
-            from voxe_tpu.viz.static import (
-                visualize_sh_vox_grid_vol_mod_rendered_feedback_attn,
-            )
-
-            if use_shear_warp:
-                # the fused iteration keeps the maps on-device; recompute
-                # them here (feedback-frequency only) for the diagnostics
-                pred_rgb = rgb_frame_sw(
-                    base_grid.replace(attn=edit_attn), rot, trans
-                )
-                num_tokens = sd.get_num_tokens(m_prompt)
-                gt_maps, _ = sd.get_attn_map(
-                    m_prompt, pred_rgb, k_attn, timestamp=timestamp,
-                    indices_to_fetch=list(range(1, num_tokens + 1)),
-                )
-                edit_attn_map = jnp.max(
-                    jnp.stack([gt_maps[i - 1] for i in edit_idx], -1), -1
-                )
-                if object_idx is None:
-                    non_edit = [
-                        gt_maps[i - 1]
-                        for i in range(1, num_tokens + 1)
-                        if i not in edit_idx
-                    ] or [jnp.zeros_like(edit_attn_map)]
-                    object_attn_map = jnp.max(jnp.stack(non_edit, -1), -1)
-                else:
-                    object_attn_map = gt_maps[object_idx - 1]
-
-            # edit/object/diff target maps (reference refinement_functions.py:19-39)
-            visualize_attention_maps(
-                edit_attn_map, object_attn_map, global_step, render_dir
-            )
-
-            # attn-grid render diagnostics at the current pose (reference
-            # refinement_functions.py:42-87): mask / pred / masked-diff per
-            # grid + edit-vs-object render difference
-            if use_shear_warp:
-                edit_render = attn_frame_sw(
-                    base_grid.replace(attn=edit_attn), rot, trans
-                )
-                obj_render = attn_frame_sw(
-                    base_grid.replace(attn=obj_attn), rot, trans
-                )
-            else:
-                edit_render = render_sh_voxel_grid_attn(
-                    base_grid.replace(attn=edit_attn), rays, render_config
-                ).colour[..., 0].reshape(im_h, im_w)
-                obj_render = render_sh_voxel_grid_attn(
-                    base_grid.replace(attn=obj_attn), rays, render_config
-                ).colour[..., 0].reshape(im_h, im_w)
-            visualize_attn_render_diagnostics(
-                edit_render, edit_attn_map, "edit", global_step, render_dir
-            )
-            visualize_attn_render_diagnostics(
-                obj_render, object_attn_map, "object", global_step, render_dir
-            )
-            visualize_render_diff(edit_render, obj_render, global_step, render_dir)
-
-            feedback_pose = render_feedback_pose or pose
-            visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
-                VolumetricModel(base_grid.replace(attn=edit_attn), render_config),
-                "attn",
-                feedback_pose,
-                camera_intrinsics,
-                global_step,
-                render_dir,
+            emit_feedback(
+                global_step, pose, rot, trans, m_prompt, k_attn,
+                edit_attn, obj_attn, edit_attn_map, object_attn_map,
+                None if use_shear_warp else rays,
             )
 
         if global_step % save_freq == 0 or global_step == 1 or last_iter:
