@@ -5,7 +5,8 @@ import pytest
 from voxe_tpu.seg.native import largest_k, maxflow_mincut
 
 
-def test_maxflow_two_cluster_cut():
+@pytest.mark.parametrize("algo", ["dinic", "bk"])
+def test_maxflow_two_cluster_cut(algo):
     # 4-node chain: 0-1-2-3 with a weak middle edge; node 0 seeded edit,
     # node 3 seeded object -> cut at the weak edge
     edge_u = np.array([0, 1, 2], dtype=np.int32)
@@ -13,23 +14,78 @@ def test_maxflow_two_cluster_cut():
     caps = np.array([10.0, 0.1, 10.0], dtype=np.float32)
     cap_src = np.array([1e30, 0, 0, 0], dtype=np.float32)
     cap_snk = np.array([0, 0, 0, 1e30], dtype=np.float32)
-    flow, labels = maxflow_mincut(4, edge_u, edge_v, caps, caps, cap_src, cap_snk)
+    flow, labels = maxflow_mincut(
+        4, edge_u, edge_v, caps, caps, cap_src, cap_snk, algo=algo
+    )
     assert flow == pytest.approx(0.1, rel=1e-5)
     np.testing.assert_array_equal(labels, [0, 0, 1, 1])
 
 
-def test_maxflow_respects_capacity_ratio():
+@pytest.mark.parametrize("algo", ["dinic", "bk"])
+def test_maxflow_respects_capacity_ratio(algo):
     # diamond: source side pulls both middles unless sink edges dominate
     edge_u = np.array([0, 0, 1, 2], dtype=np.int32)
     edge_v = np.array([1, 2, 3, 3], dtype=np.int32)
     caps = np.array([5.0, 1.0, 1.0, 5.0], dtype=np.float32)
     cap_src = np.array([1e30, 0, 0, 0], dtype=np.float32)
     cap_snk = np.array([0, 0, 0, 1e30], dtype=np.float32)
-    flow, labels = maxflow_mincut(4, edge_u, edge_v, caps, caps, cap_src, cap_snk)
+    flow, labels = maxflow_mincut(
+        4, edge_u, edge_v, caps, caps, cap_src, cap_snk, algo=algo
+    )
     assert flow == pytest.approx(2.0, rel=1e-5)
     assert labels[0] == 0 and labels[3] == 1
     assert labels[1] == 0  # strong source link, weak sink link
     assert labels[2] == 1  # weak source link, strong sink link
+
+
+def _cut_capacity(labels, edge_u, edge_v, cap, cap_rev, cap_src, cap_snk):
+    """Capacity of the (source-side, sink-side) cut induced by labels."""
+    lu, lv = labels[edge_u], labels[edge_v]
+    forward = cap[(lu == 0) & (lv == 1)].sum()  # u on source side -> v on sink
+    backward = cap_rev[(lu == 1) & (lv == 0)].sum()  # v->u crossing edges
+    terminals = cap_snk[labels == 0].sum() + cap_src[labels == 1].sum()
+    return float(forward + backward + terminals)
+
+
+def test_bk_matches_dinic_on_random_grid_graphs():
+    """BK and Dinic agree on the (unique) max-flow value, and each label set
+    is a valid min cut (cut capacity == flow, the max-flow/min-cut duality),
+    across randomized 3D 6-connected grid graphs shaped like the production
+    segmentation problem (graphcut.py:160-167)."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n_side = int(rng.integers(3, 7))
+        shape = (n_side, n_side, n_side)
+        n = int(np.prod(shape))
+        node = np.arange(n).reshape(shape)
+        us, vs = [], []
+        for axis in range(3):
+            sl_lo = [slice(None)] * 3
+            sl_hi = [slice(None)] * 3
+            sl_lo[axis] = slice(None, -1)
+            sl_hi[axis] = slice(1, None)
+            us.append(node[tuple(sl_lo)].ravel())
+            vs.append(node[tuple(sl_hi)].ravel())
+        edge_u = np.concatenate(us).astype(np.int32)
+        edge_v = np.concatenate(vs).astype(np.int32)
+        m = len(edge_u)
+        cap = rng.random(m).astype(np.float32)
+        cap_rev = rng.random(m).astype(np.float32)
+        cap_src = np.where(rng.random(n) < 0.2, rng.random(n) * 3, 0).astype(np.float32)
+        cap_snk = np.where(rng.random(n) < 0.2, rng.random(n) * 3, 0).astype(np.float32)
+
+        flow_d, labels_d = maxflow_mincut(
+            n, edge_u, edge_v, cap, cap_rev, cap_src, cap_snk, algo="dinic"
+        )
+        flow_b, labels_b = maxflow_mincut(
+            n, edge_u, edge_v, cap, cap_rev, cap_src, cap_snk, algo="bk"
+        )
+        assert flow_b == pytest.approx(flow_d, rel=1e-5, abs=1e-6), f"trial {trial}"
+        for labels in (labels_d, labels_b):
+            cut = _cut_capacity(
+                labels, edge_u, edge_v, cap, cap_rev, cap_src, cap_snk
+            )
+            assert cut == pytest.approx(flow_d, rel=1e-4, abs=1e-5), f"trial {trial}"
 
 
 def test_largest_k_two_blobs():

@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libvoxeseg.so"
-_SOURCES = ["maxflow.cpp", "components.cpp"]
+_SOURCES = ["maxflow.cpp", "bk_maxflow.cpp", "components.cpp"]
 
 _lib = None
 
@@ -38,14 +38,17 @@ def get_lib() -> ctypes.CDLL:
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
 
-    lib.maxflow_mincut.restype = ctypes.c_double
-    lib.maxflow_mincut.argtypes = [
+    _mincut_argtypes = [
         ctypes.c_int32, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.maxflow_mincut.restype = ctypes.c_double
+    lib.maxflow_mincut.argtypes = _mincut_argtypes
+    lib.bk_maxflow_mincut.restype = ctypes.c_double
+    lib.bk_maxflow_mincut.argtypes = _mincut_argtypes
     lib.largest_k_components.restype = ctypes.c_int32
     lib.largest_k_components.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -69,9 +72,17 @@ def maxflow_mincut(
     cap_rev: np.ndarray,
     cap_src: np.ndarray,
     cap_snk: np.ndarray,
+    algo: str = "bk",
 ):
-    """Run min-cut; returns (flow, labels[num_nodes] uint8, 0=source/edit side)."""
+    """Run min-cut; returns (flow, labels[num_nodes] uint8, 0=source/edit side).
+
+    algo="bk" (default) is the Boykov-Kolmogorov dual-tree algorithm — the
+    same algorithm the reference's PyMaxflow dependency uses
+    (refinement_functions.py:251-293), and ~20x faster than "dinic" on the
+    6-connected voxel grids cut here. "dinic" retained for cross-validation.
+    """
     lib = get_lib()
+    entry = lib.bk_maxflow_mincut if algo == "bk" else lib.maxflow_mincut
     edge_u = np.ascontiguousarray(edge_u, dtype=np.int32)
     edge_v = np.ascontiguousarray(edge_v, dtype=np.int32)
     cap = np.ascontiguousarray(cap, dtype=np.float32)
@@ -79,7 +90,7 @@ def maxflow_mincut(
     cap_src = np.ascontiguousarray(cap_src, dtype=np.float32)
     cap_snk = np.ascontiguousarray(cap_snk, dtype=np.float32)
     labels = np.zeros(num_nodes, dtype=np.uint8)
-    flow = lib.maxflow_mincut(
+    flow = entry(
         num_nodes, len(edge_u),
         _ptr(edge_u, ctypes.c_int32), _ptr(edge_v, ctypes.c_int32),
         _ptr(cap, ctypes.c_float), _ptr(cap_rev, ctypes.c_float),
