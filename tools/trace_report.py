@@ -83,7 +83,8 @@ def report(logdir: Path, top: int = 25) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--probe", type=str, required=True,
-                   choices=["sd_half", "render_grad", "full", "report_only"])
+                   choices=["sd_half", "render_grad", "full", "refine",
+                            "report_only"])
     p.add_argument("--frame", type=int, default=400)
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--iters", type=int, default=3)
@@ -148,6 +149,43 @@ def main() -> None:
             for _ in range(args.iters):
                 g, o = step(g, o)
             fetch(g.densities)
+    elif args.probe == "refine":
+        # the trainer's fused refinement iteration at production scale —
+        # SD 1.4 capture UNet + dual attn-grid update (bench.py refine mode,
+        # K=1 program) — to attribute the measured ~117 ms/iter sustained
+        from voxe_tpu.models.sd import StableDiffusion
+        from voxe_tpu.train.refine import make_refine_iter_shearwarp
+
+        sd = StableDiffusion(sd_version="1.4", init_mode="zeros")
+        grid = grid.replace(attn=jnp.full((res, res, res, 1), -20.0))
+        opt = optax.adam(0.035)
+        refine_iter = make_refine_iter_shearwarp(
+            sd, render_config, opt, opt, grid, (frame, frame),
+            timestamp=200, attn_tv_weight=0.001,
+        )
+        text = sd.get_text_embeds("a render of a dog wearing a party hat, front view", "")
+        idxs = jnp.arange(1, 9, dtype=jnp.int32)
+        emask = jnp.asarray(np.array([0, 0, 0, 0, 0, 0, 0, 1], np.float32))
+        omask = 1.0 - emask
+        rot = jnp.asarray(pose.rotation)
+        trans = jnp.asarray(pose.translation).reshape(3, 1)
+        e_attn, o_attn = grid.attn, grid.attn
+        oe, oo = opt.init(e_attn), opt.init(o_attn)
+
+        def call(e, o, oe, oo, key):
+            e, o, oe, oo, _ = refine_iter(
+                e, o, oe, oo, sd.params, text, rot, trans, idxs, emask, omask, key
+            )
+            return e, o, oe, oo
+
+        e_attn, o_attn, oe, oo = call(e_attn, o_attn, oe, oo, jax.random.PRNGKey(0))
+        fetch(e_attn)
+        with jax.profiler.trace(str(logdir)):
+            for i in range(args.iters):
+                e_attn, o_attn, oe, oo = call(
+                    e_attn, o_attn, oe, oo, jax.random.PRNGKey(i + 1)
+                )
+            fetch(e_attn)
     else:
         from voxe_tpu.models.sd import StableDiffusion
         from voxe_tpu.train.sds import make_sds_train_step_shearwarp
