@@ -54,6 +54,76 @@ def calc_loss_on_attn_grid(attn_render, attn_map):
     return jnp.sum(diff_masked) / (jnp.sum(mask) + 1e-8)
 
 
+def make_dual_attn_update(
+    render_config,
+    optimizer_edit,
+    optimizer_object,
+    base_grid,
+    sw_hw: tuple,
+    attn_tv_weight: float,
+    mesh=None,
+):
+    """The dual attn-grid update given already-computed 2D target maps
+    (reference attn_grid_trainer.py:335-378): differentiable attn-mode
+    shear-warp render of BOTH grids along the given pose, masked L1 against
+    the targets + TV, two independent Adam updates.
+
+    Factored out of `_make_refine_core` (which feeds it SD cross-attention
+    maps) so oracle/diagnostic drivers (tools/demo_oracle_local_edit.py)
+    can exercise the REAL production update with ground-truth maps.
+
+    Returns a traceable function:
+      update(edit_attn, obj_attn, opt_e, opt_o, rotation [3,3],
+             translation [3,1], edit_map [U,V], obj_map [U,V], k1, k2)
+        -> (edit_attn, obj_attn, opt_e, opt_o, metrics)
+    """
+    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
+
+    sw_hw = tuple(sw_hw)
+
+    def update(
+        edit_attn, obj_attn, opt_e, opt_o, rotation, translation,
+        edit_map, obj_map, k1, k2,
+    ):
+        pose = CameraPose(rotation=rotation, translation=translation)
+        edit_map = jax.lax.stop_gradient(edit_map)
+        obj_map = jax.lax.stop_gradient(obj_map)
+
+        def loss_fn(attn, target_map, k):
+            grid = base_grid.replace(attn=attn)
+            aout, _ = render_shear_warp(
+                grid, pose, render_config, base_hw=sw_hw, key=k,
+                mesh=mesh, attn_mode=True, background_value=0.0,
+            )
+            attn_render = orient_base_image(
+                aout.colour[..., 0].reshape(*sw_hw), rotation
+            )
+            attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
+            tv = tv_loss_on_grid(attn)
+            return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
+
+        (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(edit_attn, edit_map, k1)
+        updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
+        new_edit_attn = optax.apply_updates(edit_attn, updates_e)
+
+        (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(obj_attn, obj_map, k2)
+        updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
+        new_obj_attn = optax.apply_updates(obj_attn, updates_o)
+
+        metrics = dict(
+            attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
+            attn_loss_object=attn_l_o, tv_loss_object=tv_o,
+            total_loss_object=loss_o,
+        )
+        return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
+
+    return update
+
+
 def _make_refine_core(
     sd: StableDiffusion,
     render_config,
@@ -95,6 +165,10 @@ def _make_refine_core(
     sw_hw = tuple(sw_hw)
     size = sd.config.image_size
     t = jnp.asarray(timestamp)
+    dual_update = make_dual_attn_update(
+        render_config, optimizer_edit, optimizer_object, base_grid, sw_hw,
+        attn_tv_weight, mesh=mesh,
+    )
 
     def refine_iter(
         edit_attn, obj_attn, opt_e, opt_o, sd_params, text_embeddings,
@@ -136,41 +210,12 @@ def _make_refine_core(
         )
         # no non-edit tokens -> zero object target (attn_grid_trainer.py:329)
         obj_map = jnp.where(jnp.sum(obj_mask) > 0, obj_map, jnp.zeros_like(obj_map))
-        edit_map = jax.lax.stop_gradient(edit_map)
-        obj_map = jax.lax.stop_gradient(obj_map)
 
         # ---- dual attn-grid update (reference :335-378)
-        def loss_fn(attn, target_map, k):
-            grid = base_grid.replace(attn=attn)
-            aout, _ = render_shear_warp(
-                grid, pose, render_config, base_hw=sw_hw, key=k,
-                mesh=mesh, attn_mode=True, background_value=0.0,
-            )
-            attn_render = orient_base_image(
-                aout.colour[..., 0].reshape(*sw_hw), rotation
-            )
-            attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
-            tv = tv_loss_on_grid(attn)
-            return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
-
-        (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(edit_attn, edit_map, k1)
-        updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
-        new_edit_attn = optax.apply_updates(edit_attn, updates_e)
-
-        (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(obj_attn, obj_map, k2)
-        updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
-        new_obj_attn = optax.apply_updates(obj_attn, updates_o)
-
-        metrics = dict(
-            attn_loss_edit=attn_l_e, tv_loss_edit=tv_e, total_loss_edit=loss_e,
-            attn_loss_object=attn_l_o, tv_loss_object=tv_o,
-            total_loss_object=loss_o,
+        return dual_update(
+            edit_attn, obj_attn, opt_e, opt_o, rotation, translation,
+            edit_map, obj_map, k1, k2,
         )
-        return new_edit_attn, new_obj_attn, new_opt_e, new_opt_o, metrics
 
     return refine_iter
 
