@@ -302,3 +302,32 @@ def test_screen_to_base_roundtrip(grid, rcfg):
     c = coords[16, 16]
     assert 0.0 <= c[0] <= base_hw[0] - 1.0
     assert 0.0 <= c[1] <= base_hw[1] - 1.0
+
+
+@pytest.mark.parametrize("yaw,pitch", [(70.0, 25.0), (200.0, 40.0)])
+def test_multichannel_attn_render_matches_per_channel(grid, rcfg, yaw, pitch):
+    """A [X,Y,Z,2] attn volume rendered in ONE attn-mode pass must equal the
+    two single-channel renders exactly — the fused dual edit/object update
+    (train/refine.py make_dual_attn_update) relies on this channel
+    independence."""
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    a1 = jax.random.uniform(k1, (*grid.grid_dims, 1), minval=-8.0, maxval=2.0)
+    a2 = jax.random.uniform(k2, (*grid.grid_dims, 1), minval=-8.0, maxval=2.0)
+    pose = pose_spherical(yaw, pitch, 4.0)
+    base_hw = (48, 48)
+
+    both, _ = render_shear_warp(
+        grid.replace(attn=jnp.concatenate([a1, a2], axis=-1)), pose, rcfg,
+        base_hw=base_hw, attn_mode=True, background_value=0.0,
+    )
+    for i, a in enumerate((a1, a2)):
+        single, _ = render_shear_warp(
+            grid.replace(attn=a), pose, rcfg,
+            base_hw=base_hw, attn_mode=True, background_value=0.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(both.colour[..., i]),
+            np.asarray(single.colour[..., 0]),
+            atol=1e-6, rtol=1e-6,
+        )

@@ -99,6 +99,7 @@ def _streamed_composite(
     mesh,
     slice_block: int = None,
     flip_k: bool = False,
+    num_shade_channels: int = None,
 ):
     """Slice-streamed resample + composite: the [N, S, C] radiance tensor is
     never materialized in HBM.
@@ -188,7 +189,10 @@ def _streamed_composite(
 
     # ---- pass 2: blockwise weighted shading
     feats_pre = vol[..., :-1]  # [S, A, B, C1-1]
-    num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1
+    if num_shade_channels is not None:  # multi-channel attn path
+        num_channels = num_shade_channels
+    else:
+        num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1
     n_coeffs = (C1 - 1) // num_channels
     sh_degree = int(math.isqrt(n_coeffs)) - 1
     w_dt = weights.astype(dt)
@@ -277,6 +281,7 @@ def _render_canonical(
     axis_order: Tuple[int, int, int] = (0, 1, 2),
     stream_composite: bool = True,
     flip_k: bool = False,
+    num_shade_channels: int = None,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces; ray directions in WORLD axis order).
@@ -365,7 +370,7 @@ def _render_canonical(
         out = _streamed_composite(
             vol, Wa, Wb, t_slices, dirs, inside_ns, grid_config,
             config.white_bkgd, background_value, with_diffuse, mesh,
-            flip_k=flip_k,
+            flip_k=flip_k, num_shade_channels=num_shade_channels,
         )
         return out, (eye_w, dirs, t_slices, lo, hi)
 
@@ -409,7 +414,10 @@ def _render_canonical(
     inside = jnp.transpose(inside, (1, 2, 0)).reshape(U * V, S, 1)
     dens = jnp.where(inside[..., 0], dens, 0.0)
 
-    num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1  # attn path: 1 channel
+    if num_shade_channels is not None:  # multi-channel attn path
+        num_channels = num_shade_channels
+    else:
+        num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1  # attn path: 1 ch
     sh_coeffs = feats.reshape(U * V, S, num_channels, -1)
     sh_degree = int(math.isqrt(sh_coeffs.shape[-1])) - 1
     raw_radiance = evaluate_spherical_harmonics(
@@ -486,10 +494,15 @@ def render_shear_warp(
     Returns (RenderOut with [U*V, ...] leaves, BaseImageGeometry). Gradients
     flow to the grid through matmuls only — no gather/scatter.
 
-    `attn_mode` renders the grid's attention channel as the (single) feature
+    `attn_mode` renders the grid's attention channel(s) as the feature(s)
     — the shear-warp twin of render_sh_voxel_grid_attn (grid_query_attn
     semantics: voxels.py:221-246); pass background_value=0.0 to composite on
-    black as the reference does (accumulate.py:161-166).
+    black as the reference does (accumulate.py:161-166). The attn field may
+    carry MULTIPLE channels ([X, Y, Z, C]); each composites independently
+    (deg-0 shading) against the shared density field, so e.g. the dual
+    edit/object attention grids of the refinement stage render in ONE pass —
+    the pose-dependent resample matrices and the transmittance scan are
+    computed once instead of per grid.
 
     `stream_composite` (default) uses the slice-streamed resample+composite
     (_streamed_composite) — identical numerics, no [N, S, C] HBM round-trip.
@@ -509,9 +522,11 @@ def render_shear_warp(
             dens_src = voxel_grid.orig_densities
         pre_density = d_pre(dens_src * cfg.expected_density_scale)
         pre_features = f_pre(voxel_grid.attn)
+        num_shade_channels = int(voxel_grid.attn.shape[-1])
     else:
         pre_density = d_pre(voxel_grid.densities * cfg.expected_density_scale)
         pre_features = f_pre(voxel_grid.features)
+        num_shade_channels = None
     unified = jnp.concatenate([pre_features, pre_density], axis=-1)
     if cfg.gather_dtype == "bfloat16":
         unified = unified.astype(jnp.bfloat16)
@@ -555,6 +570,7 @@ def render_shear_warp(
                 axis_order=(a_ax, b_ax, k_ax),
                 stream_composite=stream_composite,
                 flip_k=stream_composite and not positive,
+                num_shade_channels=num_shade_channels,
             )
             # t_slices shape is [N, dims[k_ax]] — branch-DEPENDENT for
             # non-cubic grids, so it must not cross the lax.switch boundary

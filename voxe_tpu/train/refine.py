@@ -76,6 +76,10 @@ def make_dual_attn_update(
       update(edit_attn, obj_attn, opt_e, opt_o, rotation [3,3],
              translation [3,1], edit_map [U,V], obj_map [U,V], k1, k2)
         -> (edit_attn, obj_attn, opt_e, opt_o, metrics)
+
+    The two grids render as ONE 2-channel attn pass (see loss_fn below);
+    `k2` is retained for signature stability but unused (no stochastic
+    sampling on this path).
     """
     from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
@@ -89,29 +93,41 @@ def make_dual_attn_update(
         edit_map = jax.lax.stop_gradient(edit_map)
         obj_map = jax.lax.stop_gradient(obj_map)
 
-        def loss_fn(attn, target_map, k):
-            grid = base_grid.replace(attn=attn)
+        # Both attn grids composite against the SAME frozen density field, so
+        # they ride ONE shear-warp pass as a 2-channel attn volume: the
+        # pose-dependent resample matrices, the density pass, and the
+        # transmittance scan are computed once instead of per grid (the
+        # reference renders the two grids separately along the same rays,
+        # attn_grid_trainer.py:335-339). Channel losses are independent, so
+        # the joint gradient splits exactly into the two per-grid gradients.
+        def loss_fn(attn2):
+            grid = base_grid.replace(attn=attn2)
             aout, _ = render_shear_warp(
-                grid, pose, render_config, base_hw=sw_hw, key=k,
+                grid, pose, render_config, base_hw=sw_hw, key=k1,
                 mesh=mesh, attn_mode=True, background_value=0.0,
             )
-            attn_render = orient_base_image(
-                aout.colour[..., 0].reshape(*sw_hw), rotation
+            rendered = orient_base_image(
+                aout.colour.reshape(*sw_hw, 2), rotation
             )
-            attn_loss = calc_loss_on_attn_grid(attn_render, target_map)
-            tv = tv_loss_on_grid(attn)
-            return attn_loss + tv * attn_tv_weight, (attn_loss, tv)
+            attn_l_e = calc_loss_on_attn_grid(rendered[..., 0], edit_map)
+            attn_l_o = calc_loss_on_attn_grid(rendered[..., 1], obj_map)
+            tv_e = tv_loss_on_grid(attn2[..., :1])
+            tv_o = tv_loss_on_grid(attn2[..., 1:])
+            loss_e = attn_l_e + tv_e * attn_tv_weight
+            loss_o = attn_l_o + tv_o * attn_tv_weight
+            return loss_e + loss_o, (attn_l_e, tv_e, loss_e, attn_l_o, tv_o, loss_o)
 
-        (loss_e, (attn_l_e, tv_e)), grads_e = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(edit_attn, edit_map, k1)
-        updates_e, new_opt_e = optimizer_edit.update(grads_e, opt_e, edit_attn)
+        attn2 = jnp.concatenate([edit_attn, obj_attn], axis=-1)
+        (_, (attn_l_e, tv_e, loss_e, attn_l_o, tv_o, loss_o)), grads2 = (
+            jax.value_and_grad(loss_fn, has_aux=True)(attn2)
+        )
+        updates_e, new_opt_e = optimizer_edit.update(
+            grads2[..., :1], opt_e, edit_attn
+        )
         new_edit_attn = optax.apply_updates(edit_attn, updates_e)
-
-        (loss_o, (attn_l_o, tv_o)), grads_o = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(obj_attn, obj_map, k2)
-        updates_o, new_opt_o = optimizer_object.update(grads_o, opt_o, obj_attn)
+        updates_o, new_opt_o = optimizer_object.update(
+            grads2[..., 1:], opt_o, obj_attn
+        )
         new_obj_attn = optax.apply_updates(obj_attn, updates_o)
 
         metrics = dict(
