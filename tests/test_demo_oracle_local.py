@@ -6,6 +6,7 @@ inside the hat. This is the quality claim behind the local-edit pipeline in
 an environment where real SD weights cannot exist (VERDICT r2 missing #1).
 """
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -19,6 +20,9 @@ def test_oracle_local_edit_demo_tiny(tmp_path):
         [sys.executable, str(REPO / "tools" / "demo_oracle_local_edit.py"),
          "--res", "24", "--base", "48", "--eval_size", "64",
          "--sds_iters", "120", "--refine_iters", "120", "--out", str(out)],
+        # pin the subprocess to CPU like test_demo_script.py — the suite must
+        # not depend on (or contend with) the TPU relay
+        env=dict(os.environ, VOXE_PLATFORM="cpu"),
         capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
