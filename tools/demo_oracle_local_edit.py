@@ -179,19 +179,19 @@ def main() -> None:
     hat_attn = jnp.where(jnp.asarray(hat_mask)[..., None], 6.0, -20.0)
     body_attn = jnp.where(jnp.asarray(body_mask)[..., None], 6.0, -20.0)
 
+    gt_attn2 = jnp.concatenate([hat_attn, body_attn], axis=-1)
+
     @jax.jit
     def oracle_maps(rotation, translation):
         pose = CameraPose(rotation=rotation, translation=translation)
-        maps = []
-        for attn in (hat_attn, body_attn):
-            aout, _ = render_shear_warp(
-                grid.replace(attn=attn), pose, rcfg, base_hw=base_hw,
-                attn_mode=True, background_value=0.0,
-            )
-            maps.append(
-                orient_base_image(aout.colour[..., 0].reshape(*base_hw), rotation)
-            )
-        return maps[0], maps[1]
+        # both GT masks ride one 2-channel attn render, same as the
+        # production dual update (train/refine.py make_dual_attn_update)
+        aout, _ = render_shear_warp(
+            grid.replace(attn=gt_attn2), pose, rcfg, base_hw=base_hw,
+            attn_mode=True, background_value=0.0,
+        )
+        maps = orient_base_image(aout.colour.reshape(*base_hw, 2), rotation)
+        return maps[..., 0], maps[..., 1]
 
     attn_opt = optax.adam(0.035)
     init_attn = jnp.full_like(grid.densities, -20.0)
