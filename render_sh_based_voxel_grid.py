@@ -57,6 +57,10 @@ from voxe_tpu.viz.video import write_video
               required=False, help="save every save_freq-th frame as a PNG")
 @click.option("-p", "--sds_prompt", type=click.STRING, required=False, default=None,
               help="sds prompt; if given, written to prompt.txt")
+@click.option("--use_shear_warp", type=click.BOOL, default=False, show_default=True,
+              help="TPU-native fast path: render frames via the screen-space "
+                   "shear-warp renderer (preview-grade quadrature) instead of "
+                   "the exact per-sample renderer")
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -115,6 +119,7 @@ def main(**kwargs) -> None:
         render_scale_factor=config.render_scale_factor,
         image_save_freq=config.save_freq,
         image_save_path=output_path,
+        use_shear_warp=config.use_shear_warp,
     )
 
     write_video(output_path / "rendered_video.mp4", animation_frames, fps=config.fps)

@@ -70,6 +70,8 @@ from voxe_tpu.viz.video import write_video
               required=False, default=None, help="converted SD weights dir")
 @click.option("--sd_version", type=click.STRING, required=False, default="1.4",
               help="SD version for live attention", show_default=True)
+@click.option("--use_shear_warp", type=click.BOOL, default=False, show_default=True,
+              help="fast screen-space shear-warp frames (preview-grade)")
 # fmt: on
 def main(**kwargs) -> None:
     config = EasyDict(kwargs)
@@ -156,6 +158,7 @@ def main(**kwargs) -> None:
             camera_intrinsics,
             overridden_num_samples_per_ray=config.overridden_num_samples_per_ray,
             render_scale_factor=config.render_scale_factor,
+            use_shear_warp=config.use_shear_warp,
         )
 
     if config.save_freq is not None:

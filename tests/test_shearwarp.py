@@ -331,3 +331,64 @@ def test_multichannel_attn_render_matches_per_channel(grid, rcfg, yaw, pitch):
             np.asarray(single.colour[..., 0]),
             atol=1e-6, rtol=1e-6,
         )
+
+
+@pytest.mark.parametrize("yaw,pitch", [(40.0, 30.0), (220.0, 45.0)])
+def test_screen_space_render_matches_exact(grid, rcfg, yaw, pitch):
+    """The full factorization (base composite + final 2D warp,
+    render_shear_warp_to_screen) reproduces the EXACT screen-space renderer
+    statistically, and fills true background pixels exactly."""
+    from voxe_tpu.render.rays import cast_rays, flatten_rays
+    from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
+
+    intr = CameraIntrinsics(64, 64, 64.0)
+    pose = pose_spherical(yaw, pitch, 4.0)
+
+    fast = render_shear_warp_to_screen(grid, pose, intr, rcfg)
+    assert fast.colour.shape == (64, 64, 3)
+    assert fast.depth.shape == (64, 64, 1)
+    fast_img = np.asarray(fast.colour)
+
+    exact = render_sh_voxel_grid(
+        grid,
+        flatten_rays(
+            cast_rays(
+                intr,
+                jnp.asarray(pose.rotation),
+                jnp.asarray(pose.translation),
+            )
+        ),
+        rcfg,
+    )
+    ex_img = np.asarray(exact.colour).reshape(64, 64, 3)
+
+    assert np.isfinite(fast_img).all()
+    mse = float(np.mean((fast_img - ex_img) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 26.0, f"screen-space fast render too far off: {psnr:.2f} dB"
+    # the object is visible, and pure-background pixels are exactly white
+    assert fast_img.min() < 0.7
+    bg = ex_img[0, 0]
+    np.testing.assert_allclose(fast_img[0, 0], bg, atol=1e-3)
+
+
+def test_facade_render_use_shear_warp(grid, rcfg):
+    """VolumetricModel.render(use_shear_warp=True) returns [H, W, C] leaves
+    for both the RGB and attn paths (the render CLIs' --use_shear_warp)."""
+    from voxe_tpu.models.volumetric import VolumetricModel
+
+    intr = CameraIntrinsics(32, 48, 40.0)  # non-square screen
+    pose = pose_spherical(75.0, 20.0, 4.0)
+    attn = jnp.where(grid.densities > 0.0, 4.0, -20.0)
+    vm = VolumetricModel(grid.replace(attn=attn), rcfg)
+
+    out = vm.render(intr, pose, use_shear_warp=True, shear_warp_base_res=96)
+    assert out.colour.shape == (32, 48, 3)
+    assert np.isfinite(np.asarray(out.colour)).all()
+
+    out_attn = vm.render(intr, pose, attn=True, use_shear_warp=True)
+    assert out_attn.colour.shape == (32, 48, 1)
+    a = np.asarray(out_attn.colour)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.5  # the attn region renders
+    np.testing.assert_allclose(a[0, 0, 0], 0.0, atol=1e-4)  # black bg

@@ -101,7 +101,31 @@ class VolumetricModel:
         Defaults mirror the reference eval mode
         (volumetric_model.py:135-168): no jitter, optimized AABB sampling, and
         `render_num_samples_per_ray` samples.
+
+        `use_shear_warp=True` switches to the fast screen-space shear-warp
+        path (base composite + final 2D warp; render/shearwarp.py
+        render_shear_warp_to_screen) — preview-grade quadrature at a
+        fraction of the exact path's cost. `shear_warp_base_res` overrides
+        the square base-lattice side (default 2x the screen's long side).
         """
+        use_shear_warp = config_overrides.pop("use_shear_warp", False)
+        shear_warp_base_res = config_overrides.pop("shear_warp_base_res", None)
+        if use_shear_warp:
+            from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
+
+            base_hw = (
+                (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
+            )
+            return _shear_warp_screen_render(
+                self.grid,
+                jnp.asarray(pose.rotation),
+                jnp.asarray(pose.translation),
+                camera_intrinsics,
+                self.render_config,
+                base_hw,
+                attn,
+                use_orig_densities,
+            )
         cfg = self.render_config.replace(
             perturb_sampled_points=False,
             optimized_sampling=config_overrides.pop("optimized_sampling", True),
@@ -183,6 +207,34 @@ def _chunked_render(
         colour=unpad(out.colour),
         depth=unpad(out.depth),
         extra={k: unpad(v) for k, v in out.extra.items()},
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _shear_warp_screen_render(
+    grid: VoxelGrid,
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+    intrinsics: CameraIntrinsics,
+    config: SHVoxGridRenderConfig,
+    base_hw: Optional[Tuple[int, int]],
+    attn: bool,
+    use_orig_densities: bool,
+) -> RenderOut:
+    """Fast full-image render: one shear-warp base composite + the final 2D
+    warp to screen space (render/shearwarp.py render_shear_warp_to_screen).
+    Jitted once per (intrinsics, config, base_hw) bucket like
+    _chunked_render."""
+    from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
+
+    return render_shear_warp_to_screen(
+        grid,
+        CameraPose(rotation=rotation, translation=translation),
+        intrinsics,
+        config,
+        base_hw=base_hw,
+        attn_mode=attn,
+        use_orig_densities=use_orig_densities,
     )
 
 

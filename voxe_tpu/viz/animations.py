@@ -29,9 +29,11 @@ def render_camera_path_for_volumetric_model(
     render_scale_factor: Optional[float] = None,
     image_save_freq: Optional[int] = None,
     image_save_path: Optional[Path] = None,
+    use_shear_warp: bool = False,
 ) -> np.ndarray:
     """Render RGB frames along a camera path -> [T, H, W, 3] uint8
-    (reference animations.py:23-82)."""
+    (reference animations.py:23-82). `use_shear_warp` renders each frame
+    through the fast screen-space shear-warp path (preview-grade)."""
     if render_scale_factor is not None:
         camera_intrinsics = scale_camera_intrinsics(
             camera_intrinsics, render_scale_factor
@@ -40,6 +42,8 @@ def render_camera_path_for_volumetric_model(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+    if use_shear_warp:
+        overrides["use_shear_warp"] = True
 
     frames: List[np.ndarray] = []
     for idx, pose in enumerate(camera_path):
@@ -66,6 +70,7 @@ def render_camera_path_for_volumetric_model_attn(
     overridden_num_samples_per_ray: Optional[int] = None,
     render_scale_factor: Optional[float] = None,
     use_orig_densities: bool = False,
+    use_shear_warp: bool = False,
 ) -> np.ndarray:
     """RGB | jet-colormapped attn side-by-side frames
     (reference animations.py:84-143)."""
@@ -78,6 +83,8 @@ def render_camera_path_for_volumetric_model_attn(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+    if use_shear_warp:
+        overrides["use_shear_warp"] = True
 
     frames = []
     for idx, pose in enumerate(camera_path):
@@ -182,6 +189,7 @@ def render_camera_path_for_volumetric_model_attn_blend(
     render_scale_factor: Optional[float] = None,
     blend_alpha: float = 0.45,
     use_orig_densities: bool = False,
+    use_shear_warp: bool = False,
 ) -> np.ndarray:
     """Attn jet map alpha-blended over the RGB render
     (reference animations.py:308-402)."""
@@ -194,6 +202,8 @@ def render_camera_path_for_volumetric_model_attn_blend(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+    if use_shear_warp:
+        overrides["use_shear_warp"] = True
 
     frames = []
     for idx, pose in enumerate(camera_path):
