@@ -111,17 +111,27 @@ class VolumetricModel:
         use_shear_warp = config_overrides.pop("use_shear_warp", False)
         shear_warp_base_res = config_overrides.pop("shear_warp_base_res", None)
         if use_shear_warp:
-            from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
-
             base_hw = (
                 (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
+            )
+            # remaining overrides (e.g. render_diffuse) apply to the config;
+            # sampling knobs are inert on the shear-warp path (slice-aligned
+            # quadrature marches the grid's own planes)
+            cfg = self.render_config.replace(
+                perturb_sampled_points=False,
+                stochastic_density_noise_std=0.0,
+                **{
+                    k: v
+                    for k, v in config_overrides.items()
+                    if k not in ("optimized_sampling", "num_samples_per_ray")
+                },
             )
             return _shear_warp_screen_render(
                 self.grid,
                 jnp.asarray(pose.rotation),
                 jnp.asarray(pose.translation),
                 camera_intrinsics,
-                self.render_config,
+                cfg,
                 base_hw,
                 attn,
                 use_orig_densities,

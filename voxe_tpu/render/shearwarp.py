@@ -869,6 +869,11 @@ def render_shear_warp_to_screen(
         background_value = (
             0.0 if attn_mode else (1.0 if config.white_bkgd else 0.0)
         )
+    # exact-path semantics: config.render_diffuse renders colour AS the
+    # degree-0 diffuse version (interface.py:46, process.py:37)
+    render_diffuse = bool(getattr(config, "render_diffuse", False)) and (
+        not attn_mode
+    )
     out, geom = render_shear_warp(
         voxel_grid,
         pose,
@@ -879,15 +884,20 @@ def render_shear_warp_to_screen(
         attn_mode=attn_mode,
         use_orig_densities=use_orig_densities,
         background_value=background_value,
+        with_diffuse=render_diffuse,
     )
     coords = screen_to_base(pose, intrinsics, geom, voxel_grid, base_hw)
     as_base = lambda t: t.reshape(*base_hw, -1).astype(jnp.float32)
+    colour_src = (
+        out.extra["diffuse_colour"] if render_diffuse else out.colour
+    )
     colour = sample_base_image(
-        as_base(out.colour), coords, fill=background_value
+        as_base(colour_src), coords, fill=background_value
     )
     depth = sample_base_image(as_base(out.depth), coords, fill=0.0)
     extra = {
         k: sample_base_image(as_base(v), coords, fill=0.0)
         for k, v in out.extra.items()
+        if k != "diffuse_colour"
     }
     return RenderOut(colour=colour, depth=depth, extra=extra)

@@ -757,6 +757,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         global_step,
                         render_dir,
                         training_time=time_training,
+                        use_shear_warp=sw_active,
                     )
                     last_time = time.perf_counter()
 

@@ -649,6 +649,7 @@ def refine_edited_relu_field(
             camera_intrinsics,
             global_step,
             render_dir,
+            use_shear_warp=use_shear_warp,
         )
 
     log.info(

@@ -936,6 +936,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
                 training_time=time_training,
                 log_diffuse_rendered_version=apply_diffuse_render_regularization,
                 overridden_num_samples_per_ray=sds_vol_mod.render_config.render_num_samples_per_ray,
+                use_shear_warp=sw_active,
             )
 
         if global_step % save_freq == 0 or global_step == 1 or last_iter:

@@ -96,14 +96,20 @@ def visualize_sh_vox_grid_vol_mod_rendered_feedback(
     log_diffuse_rendered_version: bool = True,
     overridden_num_samples_per_ray: Optional[int] = None,
     verbose_rendering: bool = False,
+    use_shear_warp: bool = False,
 ) -> None:
     """Render colour + depth + inverted-acc side-by-side feedback PNGs
-    (reference static.py:156-223)."""
+    (reference static.py:156-223). `use_shear_warp` renders the feedback
+    frame through the fast screen-space path — trainers running in
+    shear-warp mode pass it so periodic feedback costs ~ms instead of an
+    exact full-frame render."""
     import imageio.v2 as imageio
 
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+    if use_shear_warp:
+        overrides["use_shear_warp"] = True
 
     out = vol_mod.render(camera_intrinsics, render_feedback_pose, **overrides)
     colour = np.asarray(out.colour)
@@ -137,14 +143,18 @@ def visualize_sh_vox_grid_vol_mod_rendered_feedback_attn(
     camera_intrinsics: CameraIntrinsics,
     global_step: int,
     feedback_logs_dir: Path,
+    use_shear_warp: bool = False,
 ) -> None:
     """Attn-channel feedback: jet-colormapped attn blended over the RGB render
     (reference static.py:225-281)."""
     import imageio.v2 as imageio
     from matplotlib import pyplot as plt
 
-    out_rgb = vol_mod.render(camera_intrinsics, render_feedback_pose)
-    out_attn = vol_mod.render(camera_intrinsics, render_feedback_pose, attn=True)
+    overrides = {"use_shear_warp": True} if use_shear_warp else {}
+    out_rgb = vol_mod.render(camera_intrinsics, render_feedback_pose, **overrides)
+    out_attn = vol_mod.render(
+        camera_intrinsics, render_feedback_pose, attn=True, **overrides
+    )
     rgb = np.asarray(out_rgb.colour)
     attn = np.asarray(out_attn.colour)[..., 0]
 
