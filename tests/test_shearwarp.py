@@ -392,3 +392,36 @@ def test_facade_render_use_shear_warp(grid, rcfg):
     assert np.isfinite(a).all()
     assert a.max() > 0.5  # the attn region renders
     np.testing.assert_allclose(a[0, 0, 0], 0.0, atol=1e-4)  # black bg
+
+
+def test_screen_space_diffuse_matches_exact(grid, rcfg):
+    """render_diffuse=True on the fast screen path reproduces the exact
+    renderer's diffuse (degree-0) render statistically — the trainer
+    feedback PNGs' diffuse panel uses this override."""
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.rays import cast_rays, flatten_rays
+
+    intr = CameraIntrinsics(64, 64, 64.0)
+    pose = pose_spherical(40.0, 30.0, 4.0)
+    vm = VolumetricModel(grid, rcfg)
+
+    fast = np.asarray(
+        vm.render(intr, pose, use_shear_warp=True, render_diffuse=True).colour
+    )
+    exact = np.asarray(
+        render_sh_voxel_grid(
+            grid,
+            flatten_rays(
+                cast_rays(
+                    intr,
+                    jnp.asarray(pose.rotation),
+                    jnp.asarray(pose.translation),
+                )
+            ),
+            rcfg.replace(render_diffuse=True),
+        ).colour
+    ).reshape(64, 64, 3)
+
+    mse = float(np.mean((fast - exact) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 26.0, f"diffuse fast render off: {psnr:.2f} dB"
