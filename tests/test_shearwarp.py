@@ -425,3 +425,26 @@ def test_screen_space_diffuse_matches_exact(grid, rcfg):
     mse = float(np.mean((fast - exact) ** 2))
     psnr = -10.0 * np.log10(mse + 1e-12)
     assert psnr > 26.0, f"diffuse fast render off: {psnr:.2f} dB"
+
+
+def test_camera_path_fast_matches_per_frame(grid, rcfg):
+    """render_camera_path_fast (one dispatch, uint8 on device) reproduces
+    the per-frame fast renders through to8b exactly."""
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.utils.camera import get_thre360_animation_poses, to8b
+
+    intr = CameraIntrinsics(32, 32, 32.0)
+    vm = VolumetricModel(grid, rcfg)
+    poses = get_thre360_animation_poses(
+        hemispherical_radius=4.0, camera_pitch=60.0, num_poses=3
+    )
+    stacked = vm.render_camera_path_fast(intr, poses)
+    assert stacked.shape == (len(poses), 32, 32, 3)
+    assert stacked.dtype == np.uint8
+    for i, pose in enumerate(poses):
+        single = to8b(
+            np.asarray(vm.render(intr, pose, use_shear_warp=True).colour)
+        )
+        # identical math modulo uint8 rounding at clip boundaries
+        assert np.mean(np.abs(stacked[i].astype(int) - single.astype(int))) < 0.5
+        assert np.max(np.abs(stacked[i].astype(int) - single.astype(int))) <= 1

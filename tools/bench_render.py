@@ -80,9 +80,20 @@ def main() -> None:
               f"{args.screen}^2) -> 180-frame turntable {dt * 180 / 60:.2f} min")
         return dt
 
-    fast = run("shear-warp screen", args.frames, use_shear_warp=True)
+    # fused: the whole path in ONE dispatch, uint8 frames on device (what
+    # the render CLI's --use_shear_warp actually executes)
+    _ = vm.render_camera_path_fast(intr, poses[: args.frames])  # compile
+    t0 = time.perf_counter()
+    frames = vm.render_camera_path_fast(intr, poses[: args.frames])
+    fused = (time.perf_counter() - t0) / args.frames
+    assert frames.dtype == np.uint8
+    print(f"shear-warp fused path: {fused * 1e3:.1f} ms/frame "
+          f"({args.frames} frames, {args.screen}^2) -> 180-frame turntable "
+          f"{fused * 180 / 60:.2f} min")
+
+    fast = run("shear-warp per-dispatch", args.frames, use_shear_warp=True)
     exact = run("exact per-sample", args.exact_frames)
-    print(f"speedup: {exact / fast:.1f}x")
+    print(f"speedup: fused {exact / fused:.1f}x, per-dispatch {exact / fast:.1f}x")
 
 
 if __name__ == "__main__":

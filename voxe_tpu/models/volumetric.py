@@ -163,6 +163,30 @@ class VolumetricModel:
             extra={k: reshape(v) for k, v in out.extra.items()},
         )
 
+    def render_camera_path_fast(
+        self,
+        camera_intrinsics: CameraIntrinsics,
+        poses,
+        shear_warp_base_res: Optional[int] = None,
+    ) -> np.ndarray:
+        """All frames of a camera path via the fast screen-space shear-warp
+        path in ONE device dispatch (uint8 on device; see
+        _shear_warp_screen_render_frames). Returns [T, H, W, 3] uint8."""
+        rotations = jnp.stack([jnp.asarray(p.rotation) for p in poses])
+        translations = jnp.stack(
+            [jnp.asarray(p.translation).reshape(3, 1) for p in poses]
+        )
+        base_hw = (
+            (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
+        )
+        cfg = self.render_config.replace(
+            perturb_sampled_points=False, stochastic_density_noise_std=0.0
+        )
+        frames = _shear_warp_screen_render_frames(
+            self.grid, rotations, translations, camera_intrinsics, cfg, base_hw
+        )
+        return np.asarray(frames)
+
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
@@ -218,6 +242,39 @@ def _chunked_render(
         depth=unpad(out.depth),
         extra={k: unpad(v) for k, v in out.extra.items()},
     )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _shear_warp_screen_render_frames(
+    grid: VoxelGrid,
+    rotations: jnp.ndarray,  # [T, 3, 3]
+    translations: jnp.ndarray,  # [T, 3, 1]
+    intrinsics: CameraIntrinsics,
+    config: SHVoxGridRenderConfig,
+    base_hw: Optional[Tuple[int, int]],
+) -> jnp.ndarray:
+    """ALL camera-path frames in ONE dispatch: lax.map of the fast
+    screen-space render over stacked poses, converted to uint8 ON DEVICE.
+
+    Two transport costs motivate this (BENCHMARKS.md environment caveats):
+    per-dispatch relay latency (0.2-4 s observed) would otherwise pay per
+    frame, and device->host bandwidth is ~32 MB/s — uint8 frames are 4x
+    cheaper to fetch than f32."""
+    from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
+
+    def one(rt):
+        rotation, translation = rt
+        out = render_shear_warp_to_screen(
+            grid,
+            CameraPose(rotation=rotation, translation=translation),
+            intrinsics,
+            config,
+            base_hw=base_hw,
+        )
+        # to8b semantics (utils/camera.py:67-68), applied device-side
+        return (255.0 * jnp.clip(out.colour, 0.0, 1.0)).astype(jnp.uint8)
+
+    return jax.lax.map(one, (rotations, translations))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))

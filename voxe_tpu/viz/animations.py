@@ -42,15 +42,8 @@ def render_camera_path_for_volumetric_model(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
-    if use_shear_warp:
-        overrides["use_shear_warp"] = True
 
-    frames: List[np.ndarray] = []
-    for idx, pose in enumerate(camera_path):
-        log.info(f"rendering frame {idx + 1}/{len(camera_path)}")
-        out = vol_mod.render(camera_intrinsics, pose, **overrides)
-        frame = to8b(np.asarray(out.colour))
-        frames.append(frame)
+    def save_frame(idx: int, frame: np.ndarray) -> None:
         if (
             image_save_freq is not None
             and image_save_path is not None
@@ -60,6 +53,23 @@ def render_camera_path_for_volumetric_model(
 
             Path(image_save_path).mkdir(parents=True, exist_ok=True)
             imageio.imwrite(Path(image_save_path) / f"frame_{idx}.png", frame)
+
+    if use_shear_warp:
+        # one device dispatch for the whole path, uint8 frames on device
+        # (per-dispatch relay latency + 32 MB/s fetch otherwise dominate)
+        log.info(f"rendering all {len(camera_path)} frames in one dispatch")
+        stacked = vol_mod.render_camera_path_fast(camera_intrinsics, camera_path)
+        for idx in range(stacked.shape[0]):
+            save_frame(idx, stacked[idx])
+        return stacked
+
+    frames: List[np.ndarray] = []
+    for idx, pose in enumerate(camera_path):
+        log.info(f"rendering frame {idx + 1}/{len(camera_path)}")
+        out = vol_mod.render(camera_intrinsics, pose, **overrides)
+        frame = to8b(np.asarray(out.colour))
+        frames.append(frame)
+        save_frame(idx, frame)
     return np.stack(frames)
 
 
