@@ -448,3 +448,31 @@ def test_camera_path_fast_matches_per_frame(grid, rcfg):
         # identical math modulo uint8 rounding at clip boundaries
         assert np.mean(np.abs(stacked[i].astype(int) - single.astype(int))) < 0.5
         assert np.max(np.abs(stacked[i].astype(int) - single.astype(int))) <= 1
+
+
+def test_camera_path_fast_attn_matches_per_frame(grid, rcfg):
+    """render_camera_path_fast_attn (one dispatch) reproduces the per-pose
+    facade fast renders (rgb, attn channel, attn acc) within uint8 rounding."""
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.utils.camera import get_thre360_animation_poses
+    from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+
+    intr = CameraIntrinsics(32, 32, 32.0)
+    vm = VolumetricModel(
+        grid.replace(attn=jnp.where(grid.densities > 0.0, 4.0, -20.0)), rcfg
+    )
+    poses = get_thre360_animation_poses(
+        hemispherical_radius=4.0, camera_pitch=60.0, num_poses=3
+    )
+    rgb_u8, attn_u8, acc_u8 = vm.render_camera_path_fast_attn(intr, poses)
+    assert rgb_u8.shape == (len(poses), 32, 32, 3)
+    assert attn_u8.shape == acc_u8.shape == (len(poses), 32, 32)
+
+    to8 = lambda x: (255.0 * np.clip(np.asarray(x), 0.0, 1.0)).astype(np.uint8)
+    for i, pose in enumerate(poses):
+        rgb = to8(vm.render(intr, pose, use_shear_warp=True).colour)
+        out_a = vm.render(intr, pose, attn=True, use_shear_warp=True)
+        attn = to8(out_a.colour[..., 0])
+        acc = to8(out_a.extra[EXTRA_ACCUMULATED_WEIGHTS][..., 0])
+        for fused, single in ((rgb_u8[i], rgb), (attn_u8[i], attn), (acc_u8[i], acc)):
+            assert np.max(np.abs(fused.astype(int) - single.astype(int))) <= 1

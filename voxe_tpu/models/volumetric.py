@@ -187,6 +187,32 @@ class VolumetricModel:
         )
         return np.asarray(frames)
 
+    def render_camera_path_fast_attn(
+        self,
+        camera_intrinsics: CameraIntrinsics,
+        poses,
+        shear_warp_base_res: Optional[int] = None,
+        use_orig_densities: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """RGB + attn + attn-acc frames for a whole camera path, one device
+        dispatch. Returns ([T, H, W, 3] uint8, [T, H, W] uint8 attn,
+        [T, H, W] uint8 acc — attn/acc scaled 0..255)."""
+        rotations = jnp.stack([jnp.asarray(p.rotation) for p in poses])
+        translations = jnp.stack(
+            [jnp.asarray(p.translation).reshape(3, 1) for p in poses]
+        )
+        base_hw = (
+            (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
+        )
+        cfg = self.render_config.replace(
+            perturb_sampled_points=False, stochastic_density_noise_std=0.0
+        )
+        rgb, attn, acc = _shear_warp_screen_render_frames_attn(
+            self.grid, rotations, translations, camera_intrinsics, cfg,
+            base_hw, use_orig_densities,
+        )
+        return np.asarray(rgb), np.asarray(attn), np.asarray(acc)
+
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
@@ -273,6 +299,42 @@ def _shear_warp_screen_render_frames(
         )
         # to8b semantics (utils/camera.py:67-68), applied device-side
         return (255.0 * jnp.clip(out.colour, 0.0, 1.0)).astype(jnp.uint8)
+
+    return jax.lax.map(one, (rotations, translations))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _shear_warp_screen_render_frames_attn(
+    grid: VoxelGrid,
+    rotations: jnp.ndarray,  # [T, 3, 3]
+    translations: jnp.ndarray,  # [T, 3, 1]
+    intrinsics: CameraIntrinsics,
+    config: SHVoxGridRenderConfig,
+    base_hw: Optional[Tuple[int, int]],
+    use_orig_densities: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RGB + attn-channel + attn-acc frames for a whole camera path in ONE
+    dispatch (all uint8 on device; attn/acc are clipped to [0, 1] first,
+    exactly what the jet-colormap/blend consumers do host-side)."""
+    from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
+    from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+
+    def one(rt):
+        rotation, translation = rt
+        pose = CameraPose(rotation=rotation, translation=translation)
+        rgb = render_shear_warp_to_screen(
+            grid, pose, intrinsics, config, base_hw=base_hw
+        ).colour
+        attn_out = render_shear_warp_to_screen(
+            grid, pose, intrinsics, config, base_hw=base_hw,
+            attn_mode=True, use_orig_densities=use_orig_densities,
+        )
+        to8 = lambda x: (255.0 * jnp.clip(x, 0.0, 1.0)).astype(jnp.uint8)
+        return (
+            to8(rgb),
+            to8(attn_out.colour[..., 0]),
+            to8(attn_out.extra[EXTRA_ACCUMULATED_WEIGHTS][..., 0]),
+        )
 
     return jax.lax.map(one, (rotations, translations))
 

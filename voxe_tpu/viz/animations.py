@@ -93,8 +93,18 @@ def render_camera_path_for_volumetric_model_attn(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
     if use_shear_warp:
-        overrides["use_shear_warp"] = True
+        log.info(f"rendering all {len(camera_path)} attn frames in one dispatch")
+        rgb_u8, attn_u8, _ = vol_mod.render_camera_path_fast_attn(
+            camera_intrinsics, camera_path, use_orig_densities=use_orig_densities
+        )
+        frames = []
+        for i in range(rgb_u8.shape[0]):
+            attn = attn_u8[i].astype(np.float32) / 255.0
+            attn_col = matplotlib.colormaps["jet"](attn)[..., :3]
+            frames.append(np.concatenate([rgb_u8[i], to8b(attn_col)], axis=1))
+        return np.stack(frames)
 
     frames = []
     for idx, pose in enumerate(camera_path):
@@ -121,6 +131,7 @@ def render_camera_path_for_volumetric_model_attn_only(
     overridden_num_samples_per_ray: Optional[int] = None,
     render_scale_factor: Optional[float] = None,
     use_orig_densities: bool = False,
+    use_shear_warp: bool = False,
 ) -> np.ndarray:
     """Attn-channel-only frames (reference animations.py:145-200)."""
     from matplotlib import pyplot as plt
@@ -132,6 +143,21 @@ def render_camera_path_for_volumetric_model_attn_only(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
+    if use_shear_warp:
+        _, attn_u8, _ = vol_mod.render_camera_path_fast_attn(
+            camera_intrinsics, camera_path, use_orig_densities=use_orig_densities
+        )
+        return np.stack(
+            [
+                to8b(
+                    matplotlib.colormaps["jet"](
+                        a.astype(np.float32) / 255.0
+                    )[..., :3]
+                )
+                for a in attn_u8
+            ]
+        )
 
     frames = []
     for idx, pose in enumerate(camera_path):
@@ -212,8 +238,21 @@ def render_camera_path_for_volumetric_model_attn_blend(
     overrides = {}
     if overridden_num_samples_per_ray is not None:
         overrides["num_samples_per_ray"] = overridden_num_samples_per_ray
+
     if use_shear_warp:
-        overrides["use_shear_warp"] = True
+        log.info(f"rendering all {len(camera_path)} blend frames in one dispatch")
+        rgb_u8, attn_u8, acc_u8 = vol_mod.render_camera_path_fast_attn(
+            camera_intrinsics, camera_path, use_orig_densities=use_orig_densities
+        )
+        frames = []
+        for i in range(rgb_u8.shape[0]):
+            rgb = rgb_u8[i].astype(np.float32) / 255.0
+            attn = attn_u8[i].astype(np.float32) / 255.0
+            acc = (acc_u8[i].astype(np.float32) / 255.0)[..., None]
+            attn_col = matplotlib.colormaps["jet"](attn)[..., :3]
+            blend = (1.0 - blend_alpha) * rgb + blend_alpha * attn_col * acc
+            frames.append(to8b(blend))
+        return np.stack(frames)
 
     frames = []
     for idx, pose in enumerate(camera_path):
