@@ -63,6 +63,12 @@ else
     EDIT_ARGS=()
     LOCAL_ARGS=()
     RENDER_ARGS=()
+    if [ -n "${SD14_WEIGHTS_DIR:-}" ]; then
+        # refinement runs SD 1.4 (reference attn_grid_trainer.py:154) — its
+        # weights tree is separate from the SD-2.0 one and validated as 1.4
+        python tools/validate_sd_weights.py -d "$SD14_WEIGHTS_DIR" --sd_version 1.4
+        LOCAL_ARGS+=(--sd_refine_weights_dir "$SD14_WEIGHTS_DIR")
+    fi
 fi
 
 REF_MODEL="$OUT_ROOT/ref/saved_models/model_final.pth"

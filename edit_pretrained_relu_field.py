@@ -168,6 +168,12 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
                    "random init without it", show_default=True)
 @click.option("--sd_version", type=click.STRING, required=False, default="2.0",
               help="stable diffusion version for the SDS stage", show_default=True)
+@click.option("--sd_refine_weights_dir", type=click.Path(file_okay=False, dir_okay=True),
+              required=False, default=None,
+              help="converted SD **1.4** weights for the refinement stage "
+                   "(reference attn_grid_trainer.py:154 uses 1.4 there; the "
+                   "--sd_weights_dir tree is version 2.0 and cannot load into "
+                   "the 1.4 architecture)", show_default=True)
 @click.option("--steps_per_call", type=click.INT, required=False, default=1,
               help="edit/refinement iterations fused into one device dispatch "
               "(random-pose directional mode only)", show_default=True)
@@ -234,6 +240,23 @@ def main(**kwargs) -> None:
     )
 
     sd_weights_dir = Path(config.sd_weights_dir) if config.sd_weights_dir else None
+    sd_refine_weights_dir = (
+        Path(config.sd_refine_weights_dir) if config.sd_refine_weights_dir else None
+    )
+    if (
+        config.do_refinement
+        and sd_weights_dir is not None
+        and sd_refine_weights_dir is None
+        and config.sd_version != "tiny"
+    ):
+        # fail BEFORE the SDS stage, not 8000 iterations later: the staged
+        # --sd_weights_dir tree is SD 2.0 and cannot load into the 1.4
+        # architecture the refinement stage uses
+        raise click.UsageError(
+            "--do_refinement with real SD weights needs --sd_refine_weights_dir "
+            "pointing at a converted SD **1.4** snapshot (refinement uses 1.4, "
+            "reference attn_grid_trainer.py:154)"
+        )
 
     from voxe_tpu.parallel.mesh import maybe_mesh
 
@@ -320,7 +343,7 @@ def main(**kwargs) -> None:
             top_k_obj_thresh=config.top_k_obj_thresh,
             data_pose_mode=config.data_pose_mode,
             downsample_refine_grid=config.downsample_refine_grid,
-            sd_weights_dir=sd_weights_dir,
+            sd_weights_dir=sd_refine_weights_dir,
             # refinement uses SD 1.4 (reference attn_grid_trainer.py:154)
             # unless the tiny plumbing config was requested
             sd_version="tiny" if config.sd_version == "tiny" else "1.4",

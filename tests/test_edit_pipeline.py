@@ -322,3 +322,118 @@ def test_refinement_fused_end_to_end(dataset, sd, tmp_path):
     saved = tmp_path / "refine_fused" / "saved_models"
     assert (saved / "model_final_refined.pth").exists()
     assert not np.allclose(np.asarray(vm_edit.grid.attn), np.asarray(attn))
+
+
+def test_refine_fused_loop_runs_exact_iteration_budget(
+    dataset, sd, tmp_path, monkeypatch
+):
+    """num_iterations not a multiple of steps_per_call: the fused refinement
+    loop must run EXACTLY num_iterations attn-grid updates (remainder-sized
+    scan for the last chunk), not round up to a full chunk."""
+    import voxe_tpu.train.refine as refine_mod
+    from voxe_tpu.train.refine import refine_edited_relu_field
+
+    executed = []
+    real_builder = refine_mod.make_refine_multi_step
+
+    def counting_builder(*args, **kwargs):
+        k = args[8]  # (..., sw_hw, timestamp, attn_tv_weight, K, radius)
+        fn = real_builder(*args, **kwargs)
+
+        def wrapped(*a, **kw):
+            executed.append(k)
+            return fn(*a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(refine_mod, "make_refine_multi_step", counting_builder)
+    pretrained = _pretrained_model(dataset)
+    edited = _pretrained_model(dataset)
+    attn = jnp.full_like(edited.grid.densities, -20.0)
+
+    def with_attn(model):
+        return VolumetricModel(
+            model.grid.replace(attn=attn), model.render_config
+        )
+
+    refine_edited_relu_field(
+        vol_mod_edit=with_attn(edited),
+        vol_mod_object=with_attn(edited),
+        vol_mod_output=with_attn(edited),
+        vol_mod_ref=pretrained,
+        train_dataset=dataset,
+        output_dir=tmp_path / "refine_budget",
+        prompt="a dog wearing a party hat",
+        edit_idx=[4, 5],
+        timestamp=200,
+        image_dims=(32, 32),
+        num_iterations=3,
+        summary_freq=10,
+        feedback_freq=100,
+        save_freq=100,
+        num_obj_voxels_thresh=100,
+        min_num_edit_voxels=5,
+        top_k_edit_thresh=20,
+        top_k_obj_thresh=20,
+        sd_model=sd,
+        fast_debug_mode=True,
+        use_shear_warp=True,
+        steps_per_call=2,
+    )
+    assert executed == [2, 1], executed  # 3 updates total, never 4
+
+
+def test_refine_timestamp_zero_draws_random_timestep(dataset, sd):
+    """timestamp<=0 on the fused shear-warp path means 'fresh random
+    timestep per iteration' (parity with sd.get_attn_map,
+    models/sd/sds.py:382-385): the t<=0 iteration must equal a
+    fixed-timestamp iteration run at exactly the drawn t."""
+    import jax
+    import optax
+
+    from voxe_tpu.train.refine import make_refine_iter_shearwarp
+
+    pretrained = _pretrained_model(dataset)
+    base_grid = pretrained.grid.replace(
+        attn=jnp.full_like(pretrained.grid.densities, -20.0)
+    )
+    rc = pretrained.render_config
+    opt = optax.adam(1e-2)
+    key = jax.random.PRNGKey(7)
+    # replicate the core's 5-way split to find the t it will draw
+    _, _, k_t, _, _ = jax.random.split(key, 5)
+    t_drawn = int(sd.sample_timestep(k_t))
+    assert t_drawn > 0
+
+    from voxe_tpu.utils.camera import pose_spherical
+
+    pose = pose_spherical(30.0, 40.0, 4.0311)
+    rot = jnp.asarray(pose.rotation)
+    trans = jnp.asarray(pose.translation).reshape(3, 1)
+    text = sd.get_text_embeds("a dog wearing a party hat, front view", "")
+    idxs = jnp.arange(1, 9, dtype=jnp.int32)
+    emask = jnp.zeros((8,)).at[3:5].set(1.0)
+    omask = 1.0 - emask
+    # start from an ACTIVE attn state (sigmoid(0)=0.5): the masked-L1 loss
+    # only counts pixels whose attn render is positive, and at -20 the mask
+    # is empty, making the update t-independent (TV only)
+    attn0 = jnp.zeros_like(base_grid.attn)
+
+    def run(timestamp):
+        it = make_refine_iter_shearwarp(
+            sd, rc, opt, opt, base_grid, (16, 16),
+            timestamp=timestamp, attn_tv_weight=1e-3,
+        )
+        e, o, _, _, m = it(
+            attn0, attn0, opt.init(attn0), opt.init(attn0), sd.params,
+            text, rot, trans, idxs, emask, omask, key,
+        )
+        return np.asarray(e), np.asarray(o)
+
+    e_rand, o_rand = run(0)
+    e_fixed, o_fixed = run(t_drawn)
+    np.testing.assert_allclose(e_rand, e_fixed, atol=1e-6)
+    np.testing.assert_allclose(o_rand, o_fixed, atol=1e-6)
+    # a different fixed t produces a different update (sanity that t matters)
+    e_other, _ = run(t_drawn + 37 if t_drawn + 37 < 1000 else t_drawn - 37)
+    assert not np.allclose(e_rand, e_other)

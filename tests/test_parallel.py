@@ -263,7 +263,13 @@ def test_multihost_init_two_cpu_processes(tmp_path):
         assert out == 0 + 1 + 2 + 3, out
         print(f"proc {jax.process_index()} primary={is_primary_host()} ok")
     """)
-    port = 21357
+    # bind port 0 to reserve a free ephemeral port — a fixed port collides
+    # when two test runs (or a stale coordinator) share the host
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     for pid in range(2):
         env = dict(

@@ -185,3 +185,46 @@ def test_sds_shearwarp_real_scene_shape(setup, tmp_path):
     )
     assert np.isfinite(np.asarray(out.grid.densities)).all()
     assert out.grid.densities.shape == (*dims, 1)
+
+
+def test_fused_loop_runs_exact_iteration_budget(setup, tmp_path, monkeypatch):
+    """num_iterations not a multiple of steps_per_call: the fused path must
+    run EXACTLY num_iterations optimizer steps (a remainder-sized scan is
+    compiled for the final chunk), not round up to a full chunk."""
+    import voxe_tpu.train.sds as sds_mod
+
+    dataset, sd, model = setup
+    executed = []  # k of each dispatched multi-step call
+    real_builder = sds_mod.make_sds_train_multi_step
+
+    def counting_builder(*args, **kwargs):
+        k = args[4]  # (sd, render_config, optimizer, intrinsics, K, ...)
+        fn = real_builder(*args, **kwargs)
+
+        def wrapped(*a, **kw):
+            executed.append(k)
+            return fn(*a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(sds_mod, "make_sds_train_multi_step", counting_builder)
+    sds_model = VolumetricModel(copy.deepcopy(model.grid), model.render_config)
+    train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
+        sds_vol_mod=sds_model,
+        pretrained_vol_mod=model,
+        train_dataset=dataset,
+        image_dims=(32, 32),
+        output_dir=tmp_path / "out",
+        ray_batch_size=1024,
+        num_iterations=3,
+        sds_prompt="a yarn doll",
+        density_correlation_weight=10.0,
+        summary_freq=10,
+        feedback_freq=100,
+        save_freq=100,
+        sd_model=sd,
+        fast_debug_mode=True,
+        steps_per_call=2,
+        use_shear_warp=True,
+    )
+    assert executed == [2, 1], executed  # 3 iterations total, never 4

@@ -163,15 +163,9 @@ class VolumetricModel:
             extra={k: reshape(v) for k, v in out.extra.items()},
         )
 
-    def render_camera_path_fast(
-        self,
-        camera_intrinsics: CameraIntrinsics,
-        poses,
-        shear_warp_base_res: Optional[int] = None,
-    ) -> np.ndarray:
-        """All frames of a camera path via the fast screen-space shear-warp
-        path in ONE device dispatch (uint8 on device; see
-        _shear_warp_screen_render_frames). Returns [T, H, W, 3] uint8."""
+    def _fast_path_args(self, poses, shear_warp_base_res: Optional[int]):
+        """Shared plumbing for the fast camera-path renders: stacked pose
+        tensors, base lattice override, and the deterministic preview config."""
         rotations = jnp.stack([jnp.asarray(p.rotation) for p in poses])
         translations = jnp.stack(
             [jnp.asarray(p.translation).reshape(3, 1) for p in poses]
@@ -181,6 +175,20 @@ class VolumetricModel:
         )
         cfg = self.render_config.replace(
             perturb_sampled_points=False, stochastic_density_noise_std=0.0
+        )
+        return rotations, translations, base_hw, cfg
+
+    def render_camera_path_fast(
+        self,
+        camera_intrinsics: CameraIntrinsics,
+        poses,
+        shear_warp_base_res: Optional[int] = None,
+    ) -> np.ndarray:
+        """All frames of a camera path via the fast screen-space shear-warp
+        path in ONE device dispatch (uint8 on device; see
+        _shear_warp_screen_render_frames). Returns [T, H, W, 3] uint8."""
+        rotations, translations, base_hw, cfg = self._fast_path_args(
+            poses, shear_warp_base_res
         )
         frames = _shear_warp_screen_render_frames(
             self.grid, rotations, translations, camera_intrinsics, cfg, base_hw
@@ -193,25 +201,24 @@ class VolumetricModel:
         poses,
         shear_warp_base_res: Optional[int] = None,
         use_orig_densities: bool = False,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        include_rgb: bool = True,
+    ) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray]:
         """RGB + attn + attn-acc frames for a whole camera path, one device
-        dispatch. Returns ([T, H, W, 3] uint8, [T, H, W] uint8 attn,
-        [T, H, W] uint8 acc — attn/acc scaled 0..255)."""
-        rotations = jnp.stack([jnp.asarray(p.rotation) for p in poses])
-        translations = jnp.stack(
-            [jnp.asarray(p.translation).reshape(3, 1) for p in poses]
-        )
-        base_hw = (
-            (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
-        )
-        cfg = self.render_config.replace(
-            perturb_sampled_points=False, stochastic_density_noise_std=0.0
+        dispatch. Returns ([T, H, W, 3] uint8 or None, [T, H, W] uint8 attn,
+        [T, H, W] uint8 acc — attn/acc scaled 0..255). `include_rgb=False`
+        skips the RGB composite (attn-only turntables need none)."""
+        rotations, translations, base_hw, cfg = self._fast_path_args(
+            poses, shear_warp_base_res
         )
         rgb, attn, acc = _shear_warp_screen_render_frames_attn(
             self.grid, rotations, translations, camera_intrinsics, cfg,
-            base_hw, use_orig_densities,
+            base_hw, use_orig_densities, include_rgb,
         )
-        return np.asarray(rgb), np.asarray(attn), np.asarray(acc)
+        return (
+            np.asarray(rgb) if rgb is not None else None,
+            np.asarray(attn),
+            np.asarray(acc),
+        )
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -303,7 +310,7 @@ def _shear_warp_screen_render_frames(
     return jax.lax.map(one, (rotations, translations))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _shear_warp_screen_render_frames_attn(
     grid: VoxelGrid,
     rotations: jnp.ndarray,  # [T, 3, 3]
@@ -312,26 +319,35 @@ def _shear_warp_screen_render_frames_attn(
     config: SHVoxGridRenderConfig,
     base_hw: Optional[Tuple[int, int]],
     use_orig_densities: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    include_rgb: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
     """RGB + attn-channel + attn-acc frames for a whole camera path in ONE
     dispatch (all uint8 on device; attn/acc are clipped to [0, 1] first,
-    exactly what the jet-colormap/blend consumers do host-side)."""
+    exactly what the jet-colormap/blend consumers do host-side).
+    `include_rgb=False` skips the RGB composite entirely (rgb slot is None)
+    for attn-only consumers — half the device work."""
     from voxe_tpu.render.shearwarp import render_shear_warp_to_screen
     from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
 
     def one(rt):
         rotation, translation = rt
         pose = CameraPose(rotation=rotation, translation=translation)
-        rgb = render_shear_warp_to_screen(
-            grid, pose, intrinsics, config, base_hw=base_hw
-        ).colour
+        to8 = lambda x: (255.0 * jnp.clip(x, 0.0, 1.0)).astype(jnp.uint8)
+        rgb = (
+            to8(
+                render_shear_warp_to_screen(
+                    grid, pose, intrinsics, config, base_hw=base_hw
+                ).colour
+            )
+            if include_rgb
+            else None
+        )
         attn_out = render_shear_warp_to_screen(
             grid, pose, intrinsics, config, base_hw=base_hw,
             attn_mode=True, use_orig_densities=use_orig_densities,
         )
-        to8 = lambda x: (255.0 * jnp.clip(x, 0.0, 1.0)).astype(jnp.uint8)
         return (
-            to8(rgb),
+            rgb,
             to8(attn_out.colour[..., 0]),
             to8(attn_out.extra[EXTRA_ACCUMULATED_WEIGHTS][..., 0]),
         )

@@ -180,7 +180,10 @@ def _make_refine_core(
 
     sw_hw = tuple(sw_hw)
     size = sd.config.image_size
-    t = jnp.asarray(timestamp)
+    # timestamp<=0 means "fresh random timestep per iteration", matching
+    # sd.get_attn_map (models/sd/sds.py:382-385) and the exact path
+    fixed_t = timestamp > 0
+    t = jnp.asarray(max(timestamp, 0))
     dual_update = make_dual_attn_update(
         render_config, optimizer_edit, optimizer_object, base_grid, sw_hw,
         attn_tv_weight, mesh=mesh,
@@ -190,7 +193,8 @@ def _make_refine_core(
         edit_attn, obj_attn, opt_e, opt_o, sd_params, text_embeddings,
         rotation, translation, token_indices, edit_mask, obj_mask, key,
     ):
-        k_enc, k_noise, k1, k2 = jax.random.split(key, 4)
+        k_enc, k_noise, k_t, k1, k2 = jax.random.split(key, 5)
+        t_iter = t if fixed_t else sd.sample_timestep(k_t)
         if mesh is not None:
             from voxe_tpu.parallel.mesh import replicate
 
@@ -209,10 +213,11 @@ def _make_refine_core(
         pred_512 = jax.image.resize(pred_rgb, (1, size, size, 3), "bilinear")
         latents = sd.encode_imgs(sd_params["vae"], pred_512, key=k_enc)
         noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-        latents_noisy = sd.scheduler.add_noise(latents, noise, t)
+        latents_noisy = sd.scheduler.add_noise(latents, noise, t_iter)
         latent_in = jnp.concatenate([latents_noisy] * 2, axis=0)
         _, attn_maps = sd.unet_noise_pred(
-            sd_params["unet"], latent_in, t, text_embeddings, capture_attn=True
+            sd_params["unet"], latent_in, t_iter, text_embeddings,
+            capture_attn=True,
         )
         maps = aggregate_token_maps(
             attn_maps, token_indices, orig_im_h=sw_hw[0], orig_im_w=sw_hw[1]
@@ -555,11 +560,16 @@ def refine_edited_relu_field(
     # relay latency that dominates the single fused iteration.
     use_fused = use_shear_warp and steps_per_call > 1 and not data_pose_mode
     if use_fused:
-        multi_refine = make_refine_multi_step(
-            sd, render_config, optimizer_edit, optimizer_object, base_grid,
-            sw_hw, timestamp, attn_tv_weight, steps_per_call,
-            HEMISPHERICAL_RADIUS_CONSTANT, mesh=mesh,
-        )
+        def _build_multi_refine(k: int):
+            return make_refine_multi_step(
+                sd, render_config, optimizer_edit, optimizer_object, base_grid,
+                sw_hw, timestamp, attn_tv_weight, k,
+                HEMISPHERICAL_RADIUS_CONSTANT, mesh=mesh,
+            )
+
+        # one program for full chunks; a smaller scan compiles on demand for
+        # the final partial chunk so EXACTLY num_iterations updates run
+        multi_refine_fns = {steps_per_call: _build_multi_refine(steps_per_call)}
         dirs = ("side", "overhead", "back", "front")
         text_by_dir = jnp.stack(
             [sd.get_text_embeds(prompt + f", {d} view", "") for d in dirs]
@@ -663,6 +673,9 @@ def refine_edited_relu_field(
     if use_fused:
         for chunk_start in range(1, num_iterations + 1, steps_per_call):
             chunk = min(steps_per_call, num_iterations - chunk_start + 1)
+            if chunk not in multi_refine_fns:
+                multi_refine_fns[chunk] = _build_multi_refine(chunk)
+            multi_refine = multi_refine_fns[chunk]
             key, k_step = jax.random.split(key)
             edit_attn, obj_attn, opt_state_edit, opt_state_object, metrics = (
                 multi_refine(

@@ -698,23 +698,29 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
             mesh=mesh,
         )
     elif use_fused:
-        multi_step_fn = make_sds_train_multi_step(
-            sd,
-            sds_vol_mod.render_config,
-            optimizer,
-            camera_intrinsics,
-            steps_per_call,
-            do_sds=do_sds,
-            density_correlation_weight=density_correlation_weight,
-            feature_correlation_weight=feature_correlation_weight,
-            tv_density_weight=tv_density_weight,
-            tv_features_weight=tv_features_weight,
-            l2_mode=l2_mode,
-            l1_mode=l1_mode,
-            mesh=mesh,
-            use_shear_warp=sw_active,
-            sw_base_hw=sw_base_hw if sw_active else None,
-        )
+        def _build_multi_step(k: int):
+            return make_sds_train_multi_step(
+                sd,
+                sds_vol_mod.render_config,
+                optimizer,
+                camera_intrinsics,
+                k,
+                do_sds=do_sds,
+                density_correlation_weight=density_correlation_weight,
+                feature_correlation_weight=feature_correlation_weight,
+                tv_density_weight=tv_density_weight,
+                tv_features_weight=tv_features_weight,
+                l2_mode=l2_mode,
+                l1_mode=l1_mode,
+                mesh=mesh,
+                use_shear_warp=sw_active,
+                sw_base_hw=sw_base_hw if sw_active else None,
+            )
+
+        # one program for full chunks; a smaller scan is compiled on demand
+        # for the final partial chunk (num_iterations % steps_per_call != 0)
+        # so the fused path runs EXACTLY num_iterations optimizer steps
+        multi_step_fns = {steps_per_call: _build_multi_step(steps_per_call)}
         text_by_dir = jnp.stack(
             [
                 sds_loss_wrapper.text_encodings[d]
@@ -780,9 +786,12 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     if use_fused:
         for chunk_start in range(1, num_iterations + 1, steps_per_call):
             chunk = min(steps_per_call, num_iterations - chunk_start + 1)
+            if chunk not in multi_step_fns:
+                multi_step_fns[chunk] = _build_multi_step(chunk)
+            multi_step_fn = multi_step_fns[chunk]
             bounds = []
-            for gs in range(chunk_start, chunk_start + steps_per_call):
-                sd.update_t_schedule(min(gs, num_iterations))
+            for gs in range(chunk_start, chunk_start + chunk):
+                sd.update_t_schedule(gs)
                 bounds.append(
                     (
                         int(sd.num_train_timesteps * sd.min_step_ratio),
@@ -812,6 +821,34 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
                     + " ".join(f"{k}: {v:.4f}" for k, v in metrics_host.items())
                     + f" max_t: {sd.get_max_step_ratio():.3f}"
                 )
+            if (
+                global_step % feedback_freq < steps_per_call
+                or chunk_start == 1
+                or last_iter
+            ) and not fast_debug_mode:
+                from voxe_tpu.viz.static import (
+                    visualize_sh_vox_grid_vol_mod_rendered_feedback,
+                )
+
+                if render_feedback_pose is not None:
+                    feedback_pose = render_feedback_pose
+                else:  # fused chunks draw poses in-jit; sample one host-side
+                    feedback_pose, _, _, _ = get_random_pose(
+                        HEMISPHERICAL_RADIUS_CONSTANT, rng
+                    )
+                visualize_sh_vox_grid_vol_mod_rendered_feedback(
+                    VolumetricModel(grid, sds_vol_mod.render_config),
+                    "sds",
+                    feedback_pose,
+                    camera_intrinsics,
+                    global_step,
+                    render_dir,
+                    training_time=time_training,
+                    log_diffuse_rendered_version=apply_diffuse_render_regularization,
+                    overridden_num_samples_per_ray=sds_vol_mod.render_config.render_num_samples_per_ray,
+                    use_shear_warp=sw_active,
+                )
+
             if global_step % save_freq < steps_per_call or last_iter:
                 VolumetricModel(grid, sds_vol_mod.render_config).save(
                     model_dir / f"model_iter_{global_step}.pth", extra_info=extra_info

@@ -146,7 +146,8 @@ def render_camera_path_for_volumetric_model_attn_only(
 
     if use_shear_warp:
         _, attn_u8, _ = vol_mod.render_camera_path_fast_attn(
-            camera_intrinsics, camera_path, use_orig_densities=use_orig_densities
+            camera_intrinsics, camera_path, use_orig_densities=use_orig_densities,
+            include_rgb=False,  # attn-only video: skip the RGB composite
         )
         return np.stack(
             [
