@@ -476,3 +476,40 @@ def test_camera_path_fast_attn_matches_per_frame(grid, rcfg):
         acc = to8(out_a.extra[EXTRA_ACCUMULATED_WEIGHTS][..., 0])
         for fused, single in ((rgb_u8[i], rgb), (attn_u8[i], attn), (acc_u8[i], acc)):
             assert np.max(np.abs(fused.astype(int) - single.astype(int))) <= 1
+
+
+def test_density_noise_streamed_matches_monolithic(grid, rcfg):
+    """config.stochastic_density_noise_std on the shear-warp fast path:
+    streamed and monolithic composites must agree under noise (same key ->
+    same [N, S] draw). Regression for the outside-window radiance leak: with
+    noise active, masked density no longer forces zero weights outside the
+    base window, so the streamed shade must zero those colour contributions
+    exactly like the monolithic path's -INFINITY radiance mask."""
+    pose = pose_spherical(40.0, 30.0, 4.0)
+    base_hw = (64, 64)
+    cfg_noise = rcfg.replace(stochastic_density_noise_std=1.0)
+    key = jax.random.PRNGKey(3)
+
+    out_s, _ = render_shear_warp(
+        grid, pose, cfg_noise, base_hw=base_hw, key=key, stream_composite=True
+    )
+    out_m, _ = render_shear_warp(
+        grid, pose, cfg_noise, base_hw=base_hw, key=key, stream_composite=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.colour), np.asarray(out_m.colour), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.extra["accumulated_weight"]),
+        np.asarray(out_m.extra["accumulated_weight"]),
+        atol=5e-3,
+    )
+
+    # noise actually perturbs the render (the knob is live), and zero std
+    # reproduces the deterministic image
+    out_0, _ = render_shear_warp(grid, pose, rcfg, base_hw=base_hw, key=key)
+    assert not np.allclose(np.asarray(out_s.colour), np.asarray(out_0.colour))
+    out_0b, _ = render_shear_warp(grid, pose, rcfg, base_hw=base_hw, key=key)
+    np.testing.assert_array_equal(
+        np.asarray(out_0.colour), np.asarray(out_0b.colour)
+    )

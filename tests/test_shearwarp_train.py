@@ -90,7 +90,7 @@ def test_host_geometry_matches_traced_path(rcfg):
     for yaw, pitch in [(40.0, 30.0), (130.0, 20.0), (220.0, 45.0), (310.0, -40.0)]:
         pose = pose_spherical(yaw, pitch, 4.0)
         _, geom = render_shear_warp(grid, pose, rcfg, base_hw=(48, 48))
-        hg = compute_base_geometry(grid, pose, (48, 48))
+        hg = compute_base_geometry(grid, pose)
         assert int(hg.perm_index) == int(geom.perm_index)
         np.testing.assert_allclose(np.asarray(hg.lo), np.asarray(geom.lo), atol=1e-4)
         np.testing.assert_allclose(np.asarray(hg.hi), np.asarray(geom.hi), atol=1e-4)

@@ -240,7 +240,12 @@ def grid_query_attn(
     pre_density = d_pre(densities * cfg.expected_density_scale)
     pre_attn = f_pre(grid.attn)
     unified = jnp.concatenate([pre_attn, pre_density], axis=-1)
-    interpolated = trilinear_interpolate(unified, normalized)
+    # honor gather_dtype exactly like grid_query (and like the shear-warp
+    # attn path, shearwarp.py attn_mode) so the exact and fast attn renders
+    # interpolate at the same precision
+    if cfg.gather_dtype == "bfloat16":
+        unified = unified.astype(jnp.bfloat16)
+    interpolated = trilinear_interpolate(unified, normalized).astype(jnp.float32)
     attn = f_post(interpolated[..., :-1])
     dens = d_post(interpolated[..., -1:])
     return jnp.concatenate([attn, dens], axis=-1)

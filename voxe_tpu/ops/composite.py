@@ -160,12 +160,12 @@ def fused_shade_composite(grid, sampled, rays, config, noise_key, extra_debug):
     from voxe_tpu.render.accumulate import (
         RenderOut,
         accumulate_radiance_density_on_rays,
+        safe_disparity,
     )
     from voxe_tpu.render.process import process_points_with_sh_voxel_grid
     from voxe_tpu.utils.constants import (
         EXTRA_ACCUMULATED_WEIGHTS,
         EXTRA_DISPARITY,
-        ZERO_PLUS,
     )
 
     if extra_debug or config.stochastic_density_noise_std > 0.0:
@@ -199,7 +199,7 @@ def fused_shade_composite(grid, sampled, rays, config, noise_key, extra_debug):
     if config.white_bkgd:
         colour_render = colour_render + (1.0 - acc_render)
     depth_render = jnp.sum(sampled.depths * weights, axis=-1, keepdims=True)
-    disparity = 1.0 / jnp.maximum(ZERO_PLUS, depth_render / acc_render)
+    disparity = safe_disparity(depth_render, acc_render)
 
     return RenderOut(
         colour=colour_render,

@@ -31,6 +31,17 @@ class RenderOut(NamedTuple):
     extra: Dict[str, jnp.ndarray]
 
 
+def safe_disparity(depth_render: jnp.ndarray, acc_render: jnp.ndarray) -> jnp.ndarray:
+    """Inverse expected depth, 1 / (depth/acc), clamping the DENOMINATOR:
+    acc==0 (rays missing all density) would make depth/acc = 0/0 = NaN, and
+    maximum() propagates NaN (the reference has the same hole, its
+    accumulate.py:85-88); values for acc > ZERO_PLUS match the reference.
+    Shared by the exact, shear-warp, and Pallas-kernel compositors."""
+    return 1.0 / jnp.maximum(
+        ZERO_PLUS, depth_render / jnp.maximum(acc_render, ZERO_PLUS)
+    )
+
+
 def density2occupancy_pb(densities: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     """Physically-based occupancy 1 - exp(-sigma * delta)
     (reference accumulate.py:24-28)."""
@@ -157,7 +168,7 @@ def accumulate_radiance_density_on_rays(
         colour_render = colour_render + (1.0 - acc_render) * background_value
 
     depth_render = jnp.sum(depths * weights, axis=-1, keepdims=True)
-    disparity_render = 1.0 / jnp.maximum(ZERO_PLUS, depth_render / acc_render)
+    disparity_render = safe_disparity(depth_render, acc_render)
 
     extra = {
         EXTRA_DISPARITY: disparity_render,

@@ -48,7 +48,7 @@ class SHVoxGridRenderConfig:
     parallel_rays_chunk_size: int = 32768
 
     # TPU-native extras
-    use_fused_kernel: bool = False  # route compositing through the Pallas kernel
+    use_fused_kernel: bool = False  # Pallas compositing kernel (RGB path only)
 
     def replace(self, **kwargs) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **kwargs)
@@ -131,7 +131,11 @@ def render_sh_voxel_grid_attn(
     extra_debug_info: bool = False,
 ) -> RenderOut:
     """Render the grid's attention channel; composites on black
-    (reference renderers.py:108-163, accumulate.py:161-166)."""
+    (reference renderers.py:108-163, accumulate.py:161-166).
+
+    `config.use_fused_kernel` applies to the RGB procedure only — the Pallas
+    compositing kernel has no attn variant; this path always takes the plain
+    jnp compositor (numerics identical, the kernel is a perf-only rewrite)."""
     rays = flatten_rays(rays)
     if key is not None:
         sample_key, noise_key = jax.random.split(key)

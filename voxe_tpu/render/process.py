@@ -31,9 +31,11 @@ def _shade_and_mask(
 
     dirs = rays.directions.reshape(-1, 3)
     viewdirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    viewdirs_tiled = jnp.repeat(viewdirs, num_samples, axis=0)  # [N*S, 3]
 
-    sh_coeffs = sh_coeffs.reshape(sh_coeffs.shape[0], num_channels, -1)
+    # shade in [N, S, C, K] with viewdirs [N, 1, 3] broadcasting through the
+    # SH polynomials — never materialize the [N*S, 3] per-sample repeat
+    # (same trick as shearwarp.py's shade path)
+    sh_coeffs = sh_coeffs.reshape(-1, num_samples, num_channels, sh_coeffs.shape[-1] // num_channels)
     if render_diffuse:
         sh_coeffs = sh_coeffs[..., :1]
         sh_degree = 0
@@ -41,17 +43,18 @@ def _shade_and_mask(
         sh_degree = int(math.isqrt(sh_coeffs.shape[-1])) - 1
 
     raw_radiance = evaluate_spherical_harmonics(
-        degree=sh_degree, sh_coeffs=sh_coeffs, viewdirs=viewdirs_tiled
-    )
+        degree=sh_degree, sh_coeffs=sh_coeffs, viewdirs=viewdirs[:, None, :]
+    )  # [N, S, C]
 
     # outside-AABB masking: radiance -> -inf (sigmoids to 0), density -> 0
     # (reference process.py:78-85)
-    inside = test_inside_volume(voxel_grid.aabb, flat_points)
+    inside = test_inside_volume(voxel_grid.aabb, flat_points).reshape(
+        -1, num_samples, 1
+    )
     raw_radiance = jnp.where(inside, raw_radiance, -INFINITY)
-    raw_densities = jnp.where(inside, raw_densities, 0.0)
+    raw_densities = jnp.where(inside, raw_densities.reshape(-1, num_samples, 1), 0.0)
 
-    processed = jnp.concatenate([raw_radiance, raw_densities], axis=-1)
-    return processed.reshape(-1, num_samples, num_channels + 1)
+    return jnp.concatenate([raw_radiance, raw_densities], axis=-1)
 
 
 def process_points_with_sh_voxel_grid(

@@ -41,7 +41,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from voxe_tpu.grid.voxels import ACTIVATIONS, VoxelGrid
-from voxe_tpu.render.accumulate import accumulate_radiance_density_on_rays
+from voxe_tpu.render.accumulate import (
+    accumulate_radiance_density_on_rays,
+    safe_disparity,
+)
 from voxe_tpu.render.interface import RenderOut
 from voxe_tpu.render.rays import Rays
 from voxe_tpu.render.sh import evaluate_spherical_harmonics
@@ -100,6 +103,9 @@ def _streamed_composite(
     slice_block: int = None,
     flip_k: bool = False,
     num_shade_channels: int = None,
+    noise_std: float = 0.0,
+    key=None,
+    diffuse_only: bool = False,
 ):
     """Slice-streamed resample + composite: the [N, S, C] radiance tensor is
     never materialized in HBM.
@@ -118,9 +124,11 @@ def _streamed_composite(
               instead of saving [N, S, C] residuals.
 
     Numerics match the monolithic path exactly: same einsum dtypes/accumulation,
-    same weights math. The radiance -INFINITY outside-mask is skipped — the
-    masked density already forces w_s = 0 exactly on those samples, so the
-    masked radiance is multiplied by literal zero either way.
+    same weights math. The radiance -INFINITY outside-mask is realized as a
+    zeroed colour contribution inside shade_block (sigmoid(-INF) == 0):
+    without density noise the masked density already forces w_s = 0 on those
+    samples, but with `noise_std > 0` outside samples regain nonzero weights
+    and the zero-padded resampled features must not shade into the composite.
     """
     import os as _os
 
@@ -154,6 +162,16 @@ def _streamed_composite(
         dens_rs = shard_axis(mesh, dens_rs, axis=0)
     dens = d_post(dens_rs).reshape(N, S)
     dens = jnp.where(inside_ns, dens, 0.0)
+    if noise_std > 0.0:  # reference accumulate.py:59-63 (post-mask, like the
+        # exact path where process masks and accumulate then noises)
+        assert key is not None, "density noise requires a PRNG key"
+        noise = jax.random.normal(key, dens.shape, dens.dtype) * noise_std
+        if flip_k:
+            # dens is in VOLUME slice order here; the monolithic path flips
+            # the volume so its noise lands in MARCHING order — reverse the
+            # draw so noise[:, s] attaches to the same physical slice
+            noise = noise[:, ::-1]
+        dens = dens + noise
 
     # weights via the exp(-cumsum) identity (accumulate.py:133-143); unit ray
     # dirs => no dir-norm scaling; final delta = slab spacing.
@@ -198,8 +216,9 @@ def _streamed_composite(
     w_dt = weights.astype(dt)
     dirs_b = dirs[:, None, :]  # broadcasts through SH
 
-    def shade_block(vol_b, Wa_b, Wb_b, w_b):
+    def shade_block(vol_b, Wa_b, Wb_b, w_b, in_b):
         # vol_b [Sb, A, B, Cf]; Wa_b [Sb, U, A]; Wb_b [Sb, V, B]; w_b [N, Sb]
+        # in_b [N, Sb] in-window mask
         tmp = jnp.einsum(
             "sua,sabc->subc", Wa_b.astype(dt), vol_b,
             preferred_element_type=jnp.float32,
@@ -214,19 +233,31 @@ def _streamed_composite(
         )  # [U, V, Sb, Cf] f32-accumulated
         Sb = vol_b.shape[0]
         feats = f_post(res.astype(dt)).reshape(N, Sb, num_channels, n_coeffs)
+        shade_degree = 0 if diffuse_only else sh_degree
         raw_rad = evaluate_spherical_harmonics(
-            degree=sh_degree, sh_coeffs=feats, viewdirs=dirs_b
+            degree=shade_degree,
+            sh_coeffs=feats[..., :1] if diffuse_only else feats,
+            viewdirs=dirs_b,
         )  # [N, Sb, C]
-        colour_b = jax.nn.sigmoid(raw_rad)
+        # outside-window radiance mask (process.py:78-85 parity, realized as
+        # sigmoid(-INF) == 0 colour): with density noise active the masked
+        # density no longer guarantees w_s == 0 outside the window, so the
+        # zero-padded resampled features must not shade into the composite
+        colour_b = jnp.where(in_b[..., None], jax.nn.sigmoid(raw_rad), 0.0)
         out = jnp.einsum(
             "ns,nsc->nc", w_b, colour_b, preferred_element_type=jnp.float32
         )
         if with_diffuse:
+            if sh_degree == 0:
+                # degree 0 IS diffuse — the full shading above already
+                # evaluated exactly this; skip the duplicate SH pass
+                return out, out
             diff_rad = evaluate_spherical_harmonics(
                 degree=0, sh_coeffs=feats[..., :1], viewdirs=dirs_b
             )
+            diff_col = jnp.where(in_b[..., None], jax.nn.sigmoid(diff_rad), 0.0)
             out_d = jnp.einsum(
-                "ns,nsc->nc", w_b, jax.nn.sigmoid(diff_rad),
+                "ns,nsc->nc", w_b, diff_col,
                 preferred_element_type=jnp.float32,
             )
             return out, out_d
@@ -242,6 +273,7 @@ def _streamed_composite(
             Wa[start:stop],
             Wb[start:stop],
             w_dt[:, start:stop],
+            inside_ns[:, start:stop],
         )
         colour_render = colour_render + c_b
         if with_diffuse:
@@ -254,9 +286,7 @@ def _streamed_composite(
             diffuse_render = diffuse_render + bg
 
     depth_render = jnp.sum(t_slices * weights, axis=-1, keepdims=True)
-    disparity_render = 1.0 / jnp.maximum(
-        ZERO_PLUS, depth_render / acc_render
-    )
+    disparity_render = safe_disparity(depth_render, acc_render)
     extra = {
         EXTRA_DISPARITY: disparity_render,
         EXTRA_ACCUMULATED_WEIGHTS: acc_render,
@@ -282,6 +312,7 @@ def _render_canonical(
     stream_composite: bool = True,
     flip_k: bool = False,
     num_shade_channels: int = None,
+    diffuse_only: bool = False,
 ):
     """Core shear-warp in canonical orientation. Returns (RenderOut over
     [U*V] base pixels, geometry pieces; ray directions in WORLD axis order).
@@ -371,6 +402,8 @@ def _render_canonical(
             vol, Wa, Wb, t_slices, dirs, inside_ns, grid_config,
             config.white_bkgd, background_value, with_diffuse, mesh,
             flip_k=flip_k, num_shade_channels=num_shade_channels,
+            noise_std=getattr(config, "stochastic_density_noise_std", 0.0),
+            key=key, diffuse_only=diffuse_only,
         )
         return out, (eye_w, dirs, t_slices, lo, hi)
 
@@ -420,6 +453,8 @@ def _render_canonical(
         num_channels = NUM_COLOUR_CHANNELS if C1 > 2 else 1  # attn path: 1 ch
     sh_coeffs = feats.reshape(U * V, S, num_channels, -1)
     sh_degree = int(math.isqrt(sh_coeffs.shape[-1])) - 1
+    if diffuse_only:  # shade colour AS the degree-0 diffuse version
+        sh_degree, sh_coeffs = 0, sh_coeffs[..., :1]
     raw_radiance = evaluate_spherical_harmonics(
         degree=sh_degree,
         sh_coeffs=sh_coeffs,
@@ -436,7 +471,9 @@ def _render_canonical(
         (raw_radiance, dens),
         t_slices,
         rays_c,
-        stochastic_density_noise_std=0.0,
+        stochastic_density_noise_std=getattr(
+            config, "stochastic_density_noise_std", 0.0
+        ),
         white_bkgd=config.white_bkgd,
         background_value=background_value,
         key=key,
@@ -460,7 +497,11 @@ def _render_canonical(
             (diffuse_radiance, dens),
             t_slices,
             rays_c,
-            stochastic_density_noise_std=0.0,
+            # same key as the specular composite -> same noise draw, so the
+            # diffuse regularizer sees the identical (noised) density field
+            stochastic_density_noise_std=getattr(
+                config, "stochastic_density_noise_std", 0.0
+            ),
             white_bkgd=config.white_bkgd,
             background_value=background_value,
             key=key,
@@ -488,6 +529,7 @@ def render_shear_warp(
     background_value: float = 1.0,
     static_branch: int = None,
     stream_composite: bool = True,
+    diffuse_only: bool = False,
 ) -> Tuple[RenderOut, BaseImageGeometry]:
     """Render the base-plane image of `voxel_grid` seen from `pose`.
 
@@ -511,6 +553,10 @@ def render_shear_warp(
     """
     if getattr(config, "use_fused_kernel", False):
         stream_composite = False  # the Pallas kernel lives on the monolithic path
+    assert not (with_diffuse and diffuse_only), (
+        "with_diffuse renders BOTH spec+diffuse; diffuse_only renders the "
+        "deg-0 version AS the colour — pick one"
+    )
     cfg = voxel_grid.config
     d_pre = ACTIVATIONS[cfg.density_preactivation]
     f_pre = ACTIVATIONS[cfg.feature_preactivation]
@@ -571,6 +617,7 @@ def render_shear_warp(
                 stream_composite=stream_composite,
                 flip_k=stream_composite and not positive,
                 num_shade_channels=num_shade_channels,
+                diffuse_only=diffuse_only,
             )
             # t_slices shape is [N, dims[k_ax]] — branch-DEPENDENT for
             # non-cubic grids, so it must not cross the lax.switch boundary
@@ -643,9 +690,12 @@ def orient_base_image(img: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
 def compute_base_geometry(
     voxel_grid: VoxelGrid,
     pose: CameraPose,
-    base_hw: Tuple[int, int],
 ) -> BaseImageGeometry:
     """Host-side (NumPy) base-window geometry for `pose` WITHOUT rendering.
+
+    The geometry (lo/hi window + branch) depends only on grid and pose —
+    NOT on the base lattice resolution, so it can be shared across lattice
+    sizes.
 
     Mirrors the branch selection and window math of `_render_canonical` /
     `render_shear_warp` exactly (tested against the traced path in
@@ -870,7 +920,8 @@ def render_shear_warp_to_screen(
             0.0 if attn_mode else (1.0 if config.white_bkgd else 0.0)
         )
     # exact-path semantics: config.render_diffuse renders colour AS the
-    # degree-0 diffuse version (interface.py:46, process.py:37)
+    # degree-0 diffuse version (interface.py:46, process.py:37) — shaded
+    # ONCE via diffuse_only (the full-SH composite would be discarded)
     render_diffuse = bool(getattr(config, "render_diffuse", False)) and (
         not attn_mode
     )
@@ -884,20 +935,16 @@ def render_shear_warp_to_screen(
         attn_mode=attn_mode,
         use_orig_densities=use_orig_densities,
         background_value=background_value,
-        with_diffuse=render_diffuse,
+        diffuse_only=render_diffuse,
     )
     coords = screen_to_base(pose, intrinsics, geom, voxel_grid, base_hw)
     as_base = lambda t: t.reshape(*base_hw, -1).astype(jnp.float32)
-    colour_src = (
-        out.extra["diffuse_colour"] if render_diffuse else out.colour
-    )
     colour = sample_base_image(
-        as_base(colour_src), coords, fill=background_value
+        as_base(out.colour), coords, fill=background_value
     )
     depth = sample_base_image(as_base(out.depth), coords, fill=0.0)
     extra = {
         k: sample_base_image(as_base(v), coords, fill=0.0)
         for k, v in out.extra.items()
-        if k != "diffuse_colour"
     }
     return RenderOut(colour=colour, depth=depth, extra=extra)

@@ -199,7 +199,7 @@ def warp_dataset_to_base(
             rotation=np.asarray(poses[i][:, :3]),
             translation=np.asarray(poses[i][:, 3:]),
         )
-        geom = compute_base_geometry(grid, pose, base_hw)
+        geom = compute_base_geometry(grid, pose)
         coords = screen_to_base(pose, intrinsics, geom, grid, base_hw)
         t, m = warp(jnp.asarray(images[i]), coords, tuple(base_hw))
         targets.append(t)

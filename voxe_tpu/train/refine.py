@@ -202,10 +202,14 @@ def _make_refine_core(
             obj_attn = replicate(mesh, obj_attn)
         pose = CameraPose(rotation=rotation, translation=translation)
 
-        # ---- no-grad RGB frame of the edited grid (reference :290-295)
+        # ---- no-grad RGB frame of the edited grid (reference :290-295);
+        # eval-style render: deterministic regardless of the training
+        # config's density-noise knob (facade behavior, volumetric.py render)
         out, _ = render_shear_warp(
             base_grid.replace(attn=jax.lax.stop_gradient(edit_attn)),
-            pose, render_config, base_hw=sw_hw, mesh=mesh,
+            pose,
+            render_config.replace(stochastic_density_noise_std=0.0),
+            base_hw=sw_hw, mesh=mesh,
         )
         pred_rgb = orient_base_image(out.colour.reshape(*sw_hw, 3), rotation)[None]
 
@@ -492,13 +496,16 @@ def refine_edited_relu_field(
 
         # (the dual attn update itself lives inside make_refine_iter_shearwarp
         # — the whole iteration is one dispatch; these two helpers serve the
-        # feedback visualizations only)
+        # feedback visualizations only, so they render DETERMINISTICALLY —
+        # no density noise — like the model facade's eval path)
+        feedback_config = render_config.replace(stochastic_density_noise_std=0.0)
+
         @jax.jit
         def rgb_frame_sw(grid, rotation, translation):
             out, _ = render_shear_warp(
                 grid,
                 CameraPose(rotation=rotation, translation=translation),
-                render_config,
+                feedback_config,
                 base_hw=sw_hw,
             )
             return orient_base_image(
@@ -510,7 +517,7 @@ def refine_edited_relu_field(
             out, _ = render_shear_warp(
                 grid,
                 CameraPose(rotation=rotation, translation=translation),
-                render_config,
+                feedback_config,
                 base_hw=sw_hw,
                 attn_mode=True,
                 background_value=0.0,

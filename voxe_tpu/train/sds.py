@@ -350,7 +350,10 @@ def make_sds_train_step_shearwarp_data(
                 rot = rotations[i]
                 pose = CameraPose(rotation=rot, translation=translations[i])
                 out, _ = render_shear_warp(
-                    g, pose, render_config, base_hw=base_hw, key=k_render,
+                    g, pose, render_config, base_hw=base_hw,
+                    # fold the frame index in so per-frame stochastic draws
+                    # (density noise) are independent, not one shared sample
+                    key=jax.random.fold_in(k_render, i),
                     mesh=mesh,
                 )
                 img = out.colour.reshape(*base_hw, 3)
