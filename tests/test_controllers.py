@@ -38,10 +38,22 @@ def test_replacement_mapper_rejects_length_mismatch(tokenizer):
 
 
 def test_refinement_mapper_alignment(tokenizer):
+    """The mapper lives in WITH-SPECIALS coordinates (77-token attention
+    layout: 0=BOS, then content, then EOS) — one token per word under the
+    hash tokenizer, so 'a fluffy dog' is [BOS, a, fluffy, dog, EOS]."""
     mapper, alphas = get_mapper("a dog", "a fluffy dog", tokenizer)
     assert mapper.shape == (77,) and alphas.shape == (77,)
-    # the shared words align; alphas flag aligned source positions as 1
-    assert alphas[:2].min() >= 0.0
+    # BOS inherits BOS, 'a' inherits 'a'
+    assert mapper[0] == 0 and alphas[0] == 1.0
+    assert mapper[1] == 1 and alphas[1] == 1.0
+    # 'fluffy' is NEW material: keeps its own attention (alpha 0)
+    assert alphas[2] == 0.0
+    # 'dog' (y pos 3) inherits x's 'dog' (x pos 2), NOT x's EOS
+    assert mapper[3] == 2 and alphas[3] == 1.0
+    # EOS aligns to EOS
+    assert mapper[4] == 3 and alphas[4] == 1.0
+    # beyond the prompt: identity
+    assert mapper[10] == 10
 
 
 def test_attention_reweight_scales_tokens(tokenizer):

@@ -157,3 +157,68 @@ def test_zero_init_matches_random_init_shapes():
     z_shapes = jax.tree_util.tree_map(lambda x: x.shape, sd_zero.params)
     r_shapes = jax.tree_util.tree_map(lambda x: x.shape, sd_rand.params)
     assert z_shapes == r_shapes
+
+
+def test_scheduler_timesteps_have_steps_offset():
+    """The SD DDIMScheduler config ships steps_offset=1: sampling runs
+    [981, 961, ..., 1], not [980, ..., 0] (diffusers set_timesteps)."""
+    sched = DDIMScheduler(1000)
+    ts = np.asarray(sched.timesteps(50))
+    assert len(ts) == 50
+    assert ts[0] == 981 and ts[-1] == 1
+    assert (np.diff(ts) == -20).all()
+
+
+def test_scheduler_eta_stochastic_step():
+    """eta=0 is deterministic DDIM; eta>0 adds the sigma_t noise term and is
+    reproducible per key (previously eta was silently ignored)."""
+    sched = DDIMScheduler(1000)
+    lat = jnp.ones((1, 4, 4, 4))
+    eps = 0.1 * jnp.ones_like(lat)
+    det = sched.step(eps, 500, 480, lat)
+    np.testing.assert_array_equal(
+        np.asarray(det), np.asarray(sched.step(eps, 500, 480, lat, eta=0.0))
+    )
+    k = jax.random.PRNGKey(0)
+    sto = sched.step(eps, 500, 480, lat, eta=1.0, key=k)
+    assert not np.allclose(np.asarray(sto), np.asarray(det))
+    np.testing.assert_array_equal(
+        np.asarray(sto), np.asarray(sched.step(eps, 500, 480, lat, eta=1.0, key=k))
+    )
+    assert np.isfinite(np.asarray(sto)).all()
+
+
+def test_tokenizer_pattern_handles_unicode():
+    """CLIP's \\p{L}/\\p{N} classes: accented words stay ONE token run
+    instead of splitting at the non-ASCII character."""
+    import re
+
+    from voxe_tpu.models.sd.tokenizer import _PAT
+
+    assert re.findall(_PAT, "café dog") == ["café", "dog"]
+    assert re.findall(_PAT, "3 dogs!") == ["3", "dogs", "!"]
+    assert re.findall(_PAT, "it's a_b") == ["it", "'s", "a", "_", "b"]
+
+
+def test_tokenizer_pad_token_discovery(tmp_path):
+    """SD 1.x pads with EOS; SD 2.x tokenizer dirs declare pad_token '!' —
+    the staged dir's declaration wins (reference pipelines pad with it)."""
+    import json as _json
+
+    from tests.test_sd_weights_numeric import _write_tiny_tokenizer
+    from voxe_tpu.models.sd.tokenizer import CLIPTokenizer
+
+    d = tmp_path / "tok"
+    _write_tiny_tokenizer(d, 0)
+    tok = CLIPTokenizer(d)
+    assert tok.pad_token_id == tok.eos_token_id  # no declaration -> EOS
+
+    (d / "special_tokens_map.json").write_text(
+        _json.dumps({"pad_token": {"content": "!"}})
+    )
+    tok2 = CLIPTokenizer(d)
+    assert tok2.pad_token_id == tok2.encoder["!"]
+    ids = tok2("hi")[0]
+    assert ids[0] == tok2.bos_token_id
+    assert ids[-1] == tok2.pad_token_id
+    assert (ids == tok2.eos_token_id).sum() == 1  # EOS terminates, pad fills

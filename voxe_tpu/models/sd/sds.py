@@ -320,20 +320,30 @@ class StableDiffusion:
             )
         timesteps = self.scheduler.timesteps(num_inference_steps)
 
-        @jax.jit
-        def sample_step(latents, t, t_prev):
-            inp = jnp.concatenate([latents] * 2, axis=0)
-            noise_pred = self.unet_noise_pred(
-                self.params["unet"], inp, t, text_embeddings
-            )
-            uncond, text = jnp.split(noise_pred, 2, axis=0)
-            noise_pred = text + guidance_scale * (text - uncond)
-            return self.scheduler.step(noise_pred, t, t_prev, latents)
+        # one jitted CFG denoise step, cached on the instance: a fresh @jax.jit
+        # closure per produce_latents call would re-trace every invocation
+        # (reference CFG form sd.py:215: text + g * (text - uncond))
+        if not hasattr(self, "_sample_step_jit"):
+
+            @jax.jit
+            def sample_step(unet_params, latents, t, t_prev, text_embeddings, gs):
+                inp = jnp.concatenate([latents] * 2, axis=0)
+                noise_pred = self.unet_noise_pred(
+                    unet_params, inp, t, text_embeddings
+                )
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = text + gs * (text - uncond)
+                return self.scheduler.step(noise_pred, t, t_prev, latents)
+
+            self._sample_step_jit = sample_step
 
         ts = np.asarray(timesteps)
         for i, t in enumerate(ts):
             t_prev = ts[i + 1] if i + 1 < len(ts) else -1
-            latents = sample_step(latents, int(t), int(t_prev))
+            latents = self._sample_step_jit(
+                self.params["unet"], latents, int(t), int(t_prev),
+                text_embeddings, float(guidance_scale),
+            )
         return latents
 
     def prompt_to_img(

@@ -94,9 +94,16 @@ def get_mapper(x: str, y: str, tokenizer, max_len: int = 77):
     `base[..., mapper] * alphas + replace * (1 - alphas)`
     (semantics of reference seq_aligner.py:107-118 / cross_attn.py:302-324,
     with the reference's tail-size bug for different-length prompts fixed).
+
+    Alignment runs in WITH-SPECIALS coordinates (BOS at 0, EOS last), the
+    layout of the 77-token attention arrays the mapper indexes into — the
+    upstream code gets this for free because HF encode() includes specials,
+    while our encode() returns content tokens only.
     """
-    x_seq = tokenizer.encode(x)
-    y_seq = tokenizer.encode(y)
+    bos = getattr(tokenizer, "bos_token_id", 0)
+    eos = getattr(tokenizer, "eos_token_id", 0)
+    x_seq = [bos] + list(tokenizer.encode(x))[: max_len - 2] + [eos]
+    y_seq = [bos] + list(tokenizer.encode(y))[: max_len - 2] + [eos]
     score = ScoreParams(0, 1, -1)
     _, trace_back = global_align(x_seq, y_seq, score)
 

@@ -24,10 +24,13 @@ BOS_TOKEN_ID = 49406
 EOS_TOKEN_ID = 49407
 MODEL_MAX_LENGTH = 77
 
+# CLIP's pattern uses \p{L}/\p{N}, which stdlib `re` lacks; the equivalents:
+# [^\W\d_]+ == \p{L}+ (unicode letters), \d ~= \p{N} (one number char), and
+# (?:[^\s\w]|_)+ == [^\s\p{L}\p{N}]+ (punctuation incl. underscore) — so
+# accented/non-Latin prompts ("café") tokenize like the reference BPE
 _PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 
@@ -78,6 +81,25 @@ class CLIPTokenizer:
         # has them at different positions than the 49408-token CLIP vocab)
         self.bos_token_id = self.encoder.get("<|startoftext|>", BOS_TOKEN_ID)
         self.eos_token_id = self.encoder.get("<|endoftext|>", EOS_TOKEN_ID)
+        # pad id comes from the tokenizer dir: SD 1.x CLIP pads with EOS, but
+        # the SD 2.x tokenizer (converted OpenCLIP) declares pad_token "!"
+        # (id 0) — padding with EOS there would shift the text embeddings at
+        # every pad position vs the reference pipeline
+        pad_token = None
+        for fname in ("special_tokens_map.json", "tokenizer_config.json"):
+            cfg_file = vocab_path / fname
+            if cfg_file.exists():
+                declared = json.loads(cfg_file.read_text()).get("pad_token")
+                if isinstance(declared, dict):
+                    declared = declared.get("content")
+                if declared:
+                    pad_token = declared
+                    break
+        self.pad_token_id = (
+            self.encoder[pad_token]
+            if pad_token is not None and pad_token in self.encoder
+            else self.eos_token_id
+        )
 
     def _bpe(self, token: str) -> List[str]:
         if token in self.cache:
@@ -123,12 +145,13 @@ class CLIPTokenizer:
         return bpe_tokens
 
     def __call__(self, texts) -> np.ndarray:
-        """texts (str or list) -> [B, 77] int32 ids (BOS ... EOS, EOS-padded,
+        """texts (str or list) -> [B, 77] int32 ids (BOS ... EOS, padded with
+        the tokenizer's declared pad token — EOS for SD 1.x, "!" for SD 2.x —
         truncated like the reference tokenizer call sd.py:106,123)."""
         if isinstance(texts, str):
             texts = [texts]
         out = np.full(
-            (len(texts), MODEL_MAX_LENGTH), self.eos_token_id, dtype=np.int32
+            (len(texts), MODEL_MAX_LENGTH), self.pad_token_id, dtype=np.int32
         )
         for row, text in enumerate(texts):
             ids = [self.bos_token_id] + self.encode(text)[: MODEL_MAX_LENGTH - 2] + [
@@ -162,6 +185,10 @@ class HashTokenizer:
     @property
     def eos_token_id(self) -> int:
         return min(EOS_TOKEN_ID, self.vocab_size - 1)
+
+    @property
+    def pad_token_id(self) -> int:
+        return self.eos_token_id  # SD 1.x layout (EOS-padded)
 
     def __call__(self, texts) -> np.ndarray:
         if isinstance(texts, str):

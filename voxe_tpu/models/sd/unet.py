@@ -59,20 +59,24 @@ def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: fl
 
 
 class ResnetBlock2D(nn.Module):
+    # norm epsilons follow diffusers UNet2DConditionModel: GroupNorms use
+    # norm_eps=1e-5 (unlike the VAE's 1e-6 blocks), transformer LayerNorms
+    # use torch's default 1e-5; flax defaults to 1e-6, so every norm that
+    # differs sets epsilon explicitly for real-weight numeric parity
     out_channels: int
     groups: int = 32
 
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
 
         temb_out = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
         h = h + temb_out[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
 
@@ -182,15 +186,15 @@ class BasicTransformerBlock(nn.Module):
         # attn1 is SELF-attention: editable via attn_edit_fn but never
         # captured (capture is cross-maps only; see cross_attn aggregation)
         hidden = hidden + CrossAttention(self.num_heads, name="attn1")(
-            nn.LayerNorm(name="norm1")(hidden), attn_edit_fn=attn_edit_fn
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(hidden), attn_edit_fn=attn_edit_fn
         )
         hidden = hidden + CrossAttention(
             self.num_heads, capture=self.capture, name="attn2"
         )(
-            nn.LayerNorm(name="norm2")(hidden), context,
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(hidden), context,
             capture_attn=capture_attn, attn_edit_fn=attn_edit_fn,
         )
-        hidden = hidden + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(hidden))
+        hidden = hidden + FeedForward(name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(hidden))
         return hidden
 
 
@@ -299,6 +303,6 @@ class UNet2DConditionModel(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(C, (3, 3), padding=1, name=f"up_{up_idx}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -212,7 +212,12 @@ def vae_name_fn(path: str):
         aliases = _VAE_ATTN_ALIASES.get(sub, (sub,))
         kind = "norm" if sub == "group_norm" else "linear"
         return [f"{base}.{a}.{suffix}" for a in aliases], kind
-    if len(rest) == 1:  # plain conv leaf (conv_in, downsample, ...)
+    if len(rest) == 2:  # plain leaf directly under a block: rest is
+        # (module, flax_leaf) — conv_in/conv_out/conv_norm_out/downsample/
+        # upsample. (A previous `len(rest) == 1` test could never be true —
+        # rest always ends with the flax leaf — so these fell through to the
+        # resnet branch and produced names like 'encoder.conv_in.kernel.weight';
+        # regression-tested in test_sd_weights.py by the no-flax-leaf invariant.)
         kind = "norm" if "norm" in rest[0] else "conv"
         return [f"{base}.{suffix}"], kind
     # resnet submodule
