@@ -84,8 +84,11 @@ class BK {
   }
 
   void source_side(uint8_t* labels) const {
+    // free nodes (in neither search tree, i.e. disconnected from both
+    // terminals in the residual graph) default to SOURCE (0), matching
+    // PyMaxflow's what_segment(..., default_segm=SOURCE)
     for (int32_t v = 0; v < n_; ++v)
-      labels[v] = (tree_[v] == kS) ? 0 : 1;
+      labels[v] = (tree_[v] == kT) ? 1 : 0;
   }
 
  private:

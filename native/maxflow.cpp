@@ -45,18 +45,23 @@ class Dinic {
     return flow;
   }
 
-  // after max_flow: nodes reachable from source in the residual graph
-  void source_side(int s, uint8_t* labels) {
-    std::memset(labels, 1, n_);
+  // after max_flow: label 1 = nodes that can still REACH THE SINK in the
+  // residual graph; everything else — including nodes disconnected from both
+  // terminals — labels 0 (SOURCE), matching PyMaxflow's what_segment default
+  // segment (SOURCE) for free nodes. Labeling by source-reachability instead
+  // would put free nodes on the sink side and diverge from the reference.
+  void sink_side(int t, uint8_t* labels) {
+    std::memset(labels, 0, n_);
     std::queue<int> q;
-    q.push(s);
-    labels[s] = 0;
+    q.push(t);
+    labels[t] = 1;
     while (!q.empty()) {
       int v = q.front();
       q.pop();
       for (const Edge& e : graph_[v]) {
-        if (e.cap > kEps && labels[e.to]) {
-          labels[e.to] = 0;
+        // residual capacity on the REVERSE arc (e.to -> v)?
+        if (graph_[e.to][e.rev].cap > kEps && !labels[e.to]) {
+          labels[e.to] = 1;
           q.push(e.to);
         }
       }
@@ -130,7 +135,7 @@ extern "C" double maxflow_mincut(
   double flow = dinic.max_flow(source, sink);
 
   std::vector<uint8_t> labels(num_nodes + 2);
-  dinic.source_side(source, labels.data());
+  dinic.sink_side(sink, labels.data());
   std::memcpy(labels_out, labels.data(), num_nodes);
   return flow;
 }

@@ -163,3 +163,26 @@ def test_graphcut_segments_attn_blobs():
     assert (keep[3, 3, 3] == 0.0).all()
     assert (keep[8, 8, 8] == -5.0).all()
     assert (keep[0, 0, 0] == -10.0).all()
+
+
+def test_unreached_nodes_default_to_source_side():
+    """Nodes disconnected from BOTH terminals after the cut must label 0
+    (SOURCE/edit) — PyMaxflow's what_segment default, which the reference
+    pipeline relies on (refinement_functions.py:293). Regression: BK labeled
+    free nodes as object; Dinic labeled by source-reachability (same bug)."""
+    import numpy as np
+
+    from voxe_tpu.seg.native import maxflow_mincut
+
+    empty = np.zeros(0, np.float32)
+    cap_src = np.array([1e30, 0.0, 0.0], np.float32)
+    cap_snk = np.array([0.0, 1e30, 0.0], np.float32)
+    for algo in ("bk", "dinic"):
+        flow, labels = maxflow_mincut(
+            3, np.zeros(0, np.int32), np.zeros(0, np.int32), empty, empty,
+            cap_src, cap_snk, algo=algo,
+        )
+        assert labels[0] == 0, algo   # source-seeded
+        assert labels[1] == 1, algo   # sink-seeded
+        assert labels[2] == 0, algo   # free -> SOURCE default
+        assert flow == 0.0, algo

@@ -241,8 +241,17 @@ def main() -> None:
     after = frame(refined, 40.0)
 
     # ---------------- metrics
-    inter = float(np.sum(seg_edit & hat_mask))
-    union = float(np.sum(seg_edit | hat_mask))
+    # IoU over DENSE voxels: the graph includes a dilated one-voxel margin of
+    # EMPTY voxels, and the diagonal-margin ones (26-neighborhood dilation,
+    # 6-connected edges) have no arcs at all — free nodes, which the min-cut
+    # labels edit/SOURCE by PyMaxflow's what_segment default (the reference
+    # behaves identically, refinement_functions.py:293). They are empty, so
+    # they never render; the meaningful segmentation-quality measure is over
+    # voxels that exist.
+    dense_mask = np.asarray(ref_d)[..., 0] > 0.0
+    seg_edit_dense = seg_edit & dense_mask
+    inter = float(np.sum(seg_edit_dense & hat_mask))
+    union = float(np.sum(seg_edit_dense | hat_mask))
     iou = inter / max(union, 1.0)
     body_restored = np.array_equal(
         new_f[body_mask & keep_mask], np.asarray(ref_f)[body_mask & keep_mask]

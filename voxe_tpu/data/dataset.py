@@ -190,11 +190,22 @@ class PosedImagesDataset:
             if self._cache_on_device:
                 self._device_images = jax.device_put(self._images)
                 self._device_poses = jax.device_put(self._poses)
-            else:  # host-resident jnp views
-                import jax.numpy as jnp
+            else:
+                # host-resident: commit to a CPU device explicitly — a bare
+                # jnp.asarray would land on the DEFAULT device (TPU HBM),
+                # silently defeating the flag's whole purpose
+                try:
+                    cpu = jax.devices("cpu")[0]
+                except RuntimeError:
+                    from voxe_tpu.utils.logging import log
 
-                self._device_images = jnp.asarray(self._images)
-                self._device_poses = jnp.asarray(self._poses)
+                    log.warning(
+                        "cache_on_device=False but no CPU backend is "
+                        "registered; caching on the default device"
+                    )
+                    cpu = None
+                self._device_images = jax.device_put(self._images, cpu)
+                self._device_poses = jax.device_put(self._poses, cpu)
         return self._device_images, self._device_poses
 
     def iter_batches(
@@ -247,9 +258,12 @@ class PosedImagesDataset:
     def _filter_image_file_paths(
         image_file_paths: List[Path], camera_parameters: Dict[str, Any]
     ) -> List[Path]:
-        """Keep only images that have a pose (reference datasets.py:156-169)."""
-        if len(image_file_paths) == len(camera_parameters):
-            return image_file_paths
+        """Keep only images that have a pose (reference datasets.py:156-169).
+
+        Always filters by membership: the reference's equal-length shortcut
+        breaks when a stray directory entry (.DS_Store, a thumbnails dir)
+        keeps the counts equal while the SETS differ — __getitem__ indexes
+        camera_parameters by file name, so membership is the real contract."""
         return [p for p in image_file_paths if p.name in camera_parameters]
 
     def _normalize_scene_scale(self) -> None:

@@ -122,13 +122,22 @@ def build_graph(
         edit_seed_idx = np.argsort(edit_vals)[::-1][:top_k_edit_thresh]
         obj_seed_idx = np.argsort(obj_vals)[::-1][:top_k_obj_thresh]
 
+    # edit seeds WIN on overlap (reference :252-255 is if/ELIF: a node in
+    # both top-k lists gets only the edit terminal). Without this, the two
+    # INF capacities cancel in set_terminal and the contested voxel is
+    # seeded to neither side.
+    obj_seed_idx = np.setdiff1d(obj_seed_idx, edit_seed_idx)
     cap_src = np.zeros(num_nodes, dtype=np.float32)
     cap_snk = np.zeros(num_nodes, dtype=np.float32)
     cap_src[edit_seed_idx] = INF_CAP  # edit terminal (reference :253)
     cap_snk[obj_seed_idx] = INF_CAP  # object terminal (reference :255)
 
     # vectorized 6-neighbor edges: for each offset, pair nodes whose neighbor
-    # is in-bounds, has positive density, and is itself a node
+    # is in-bounds, has positive density, and is itself a node. Each
+    # undirected pair is emitted TWICE (once per opposing offset) with
+    # symmetric capacities — deliberately matching the reference's per-node
+    # 6-offset loop (:261-287), so the arc multiset and flow value agree;
+    # the min cut itself would be identical with positive offsets only.
     feat_at = feature_grid[idx_values[:, 0], idx_values[:, 1], idx_values[:, 2]]
     dens = density_grid[..., 0]
     edge_u_list, edge_v_list, weight_list = [], [], []

@@ -21,12 +21,26 @@ _lib = None
 
 
 def _build() -> None:
+    # compile to a process-unique temp file and os.replace (atomic on the
+    # same filesystem): concurrent first-use builds (multichip dryrun
+    # subprocess, multi-host SPMD processes sharing a checkout) must never
+    # CDLL a partially written .so
+    import os
+
+    tmp_path = _LIB_PATH.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         *[str(_NATIVE_DIR / s) for s in _SOURCES],
-        "-o", str(_LIB_PATH),
+        "-o", str(tmp_path),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        tmp_path.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"native build failed ({' '.join(cmd)}):\n{e.stderr}"
+        ) from e
+    os.replace(tmp_path, _LIB_PATH)
 
 
 def get_lib() -> ctypes.CDLL:

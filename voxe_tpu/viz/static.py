@@ -61,23 +61,30 @@ def visualize_camera_rays(
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
-    from voxe_tpu.render.rays import cast_rays
-    import jax.numpy as jnp
-
     fig = plt.figure()
     ax = fig.add_subplot(projection="3d")
     intr = dataset.camera_intrinsics
+    # host-side NumPy pinhole math for just the picked pixels (cast_rays
+    # semantics, rays.py:57-75: pixel centers at +0.5, camera looks down -z,
+    # +y up). Casting the full HxW grid on device and fetching it per image
+    # just to draw num_rays_per_image arrows costs ~15 MB/image over the
+    # ~32 MB/s relay — minutes of startup for a 100-view real scene.
+    h, w, focal = intr.height, intr.width, float(intr.focal)
+    picks = np.linspace(0, h * w - 1, num_rays_per_image).astype(int)
+    px = picks % w + 0.5
+    py = picks // w + 0.5
+    dirs_cam = np.stack(
+        [(px - w * 0.5) / focal, -(py - h * 0.5) / focal, -np.ones_like(px)],
+        axis=-1,
+    )  # [num_rays, 3]
     for pose_arr in dataset.poses:
-        rays = cast_rays(
-            intr, jnp.asarray(pose_arr[:, :3]), jnp.asarray(pose_arr[:, 3:])
-        )
-        origins = np.asarray(rays.origins).reshape(-1, 3)
-        directions = np.asarray(rays.directions).reshape(-1, 3)
-        picks = np.linspace(0, len(origins) - 1, num_rays_per_image).astype(int)
-        for p in picks:
-            o, d = origins[p], directions[p]
-            ax.quiver(*o, *d, length=1.5, color="tab:blue", arrow_length_ratio=0.1)
-        ax.scatter(*origins[0], color="tab:red", s=12)
+        rotation = np.asarray(pose_arr[:, :3], np.float64)
+        origin = np.asarray(pose_arr[:, 3:], np.float64).reshape(3)
+        for d in dirs_cam @ rotation.T:
+            ax.quiver(
+                *origin, *d, length=1.5, color="tab:blue", arrow_length_ratio=0.1
+            )
+        ax.scatter(*origin, color="tab:red", s=12)
     ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
