@@ -9,3 +9,10 @@ from voxe_tpu.grid.voxels import (  # noqa: F401
     scale_voxel_grid,
     test_inside_volume,
 )
+from voxe_tpu.grid.feature_voxels import (  # noqa: F401
+    FeatureVoxelGrid,
+    FeatureVoxelGridConfig,
+    create_feature_voxel_grid,
+    feature_grid_query,
+    scale_feature_voxel_grid,
+)

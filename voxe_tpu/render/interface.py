@@ -13,9 +13,11 @@ from typing import Optional
 
 import jax
 
+from voxe_tpu.grid.feature_voxels import FeatureVoxelGrid
 from voxe_tpu.grid.voxels import VoxelGrid
 from voxe_tpu.render.accumulate import RenderOut, accumulate_radiance_density_on_rays
 from voxe_tpu.render.process import (
+    process_points_with_feature_voxel_grid,
     process_points_with_sh_voxel_grid,
     process_points_with_sh_voxel_grid_attn,
 )
@@ -108,6 +110,39 @@ def render_sh_voxel_grid(
         )
 
     processed = process_points_with_sh_voxel_grid(
+        sampled, rays, voxel_grid, render_diffuse=config.render_diffuse
+    )
+    return accumulate_radiance_density_on_rays(
+        processed,
+        sampled.depths,
+        rays,
+        stochastic_density_noise_std=config.stochastic_density_noise_std,
+        white_bkgd=config.white_bkgd,
+        background_value=1.0,
+        extra_debug_info=extra_debug_info,
+        key=noise_key,
+    )
+
+
+def render_feature_voxel_grid(
+    voxel_grid: FeatureVoxelGrid,
+    rays: Rays,
+    config: SHVoxGridRenderConfig,
+    key: Optional[jax.Array] = None,
+    extra_debug_info: bool = False,
+) -> RenderOut:
+    """Render flat rays against the hybrid grid+MLP representation
+    (reference feature_voxels.py:305-363; no renderer is wired for it in the
+    reference — dead code — so this follows render_sh_voxel_grid's plumbing
+    with the feature-grid point processor)."""
+    rays = flatten_rays(rays)
+    if key is not None:
+        sample_key, noise_key = jax.random.split(key)
+    else:
+        sample_key = noise_key = None
+
+    sampled = _sample(voxel_grid, rays, config, sample_key)
+    processed = process_points_with_feature_voxel_grid(
         sampled, rays, voxel_grid, render_diffuse=config.render_diffuse
     )
     return accumulate_radiance_density_on_rays(

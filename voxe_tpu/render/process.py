@@ -11,6 +11,7 @@ import math
 
 import jax.numpy as jnp
 
+from voxe_tpu.grid.feature_voxels import FeatureVoxelGrid, feature_grid_query
 from voxe_tpu.grid.voxels import VoxelGrid, grid_query, grid_query_attn, test_inside_volume
 from voxe_tpu.render.rays import Rays
 from voxe_tpu.render.sample import SampledPointsOnRays
@@ -76,6 +77,34 @@ def process_points_with_sh_voxel_grid(
         NUM_COLOUR_CHANNELS,
         render_diffuse,
     )
+
+
+def process_points_with_feature_voxel_grid(
+    sampled_points: SampledPointsOnRays,
+    rays: Rays,
+    voxel_grid: FeatureVoxelGrid,
+    render_diffuse: bool = False,
+) -> jnp.ndarray:
+    """[N, S, 3+1]: per-sample (raw rgb from the MLP head, raw density) for
+    the hybrid grid+MLP representation (reference feature_voxels.py:305-363;
+    the reference never wires a renderer for it — dead code — but the decoded
+    radiance slots into the same accumulator: raw values are sigmoid
+    tone-mapped there, and the -inf outside-AABB mask sigmoids to 0 exactly
+    like the SH path). `render_diffuse` is accepted for interface parity; the
+    MLP radiance is view-independent already, so it is a no-op."""
+    del render_diffuse
+    num_rays, num_samples, _ = sampled_points.points.shape
+    flat_points = sampled_points.points.reshape(-1, 3)
+    decoded = feature_grid_query(voxel_grid, flat_points)  # [N*S, 4]
+    raw_radiance, raw_densities = decoded[..., :-1], decoded[..., -1:]
+    inside = test_inside_volume(voxel_grid.aabb, flat_points).reshape(
+        -1, num_samples, 1
+    )
+    raw_radiance = jnp.where(
+        inside, raw_radiance.reshape(-1, num_samples, NUM_COLOUR_CHANNELS), -INFINITY
+    )
+    raw_densities = jnp.where(inside, raw_densities.reshape(-1, num_samples, 1), 0.0)
+    return jnp.concatenate([raw_radiance, raw_densities], axis=-1)
 
 
 def process_points_with_sh_voxel_grid_attn(
