@@ -130,10 +130,12 @@ from voxe_tpu.utils.misc import (
 @click.option("--use_fused_kernel", type=click.BOOL, required=False, default=False,
               help="route ray compositing through the fused Pallas TPU kernel",
               show_default=True)
-@click.option("--use_shear_warp", type=click.BOOL, required=False, default=False,
+@click.option("--use_shear_warp", type=click.BOOL, required=False, default=True,
               help="train on the gather/scatter-free shear-warp fast path "
               "(banded interpolation matmuls; targets pre-warped to the base "
-              "plane once per stage)", show_default=True)
+              "plane once per stage; measured held-out parity with the exact "
+              "renderer at 17x less wall-clock, BENCHMARKS.md); False selects "
+              "the exact per-sample parity renderer", show_default=True)
 @click.option("--shear_warp_base_res", type=click.INT, required=False, default=None,
               help="base-plane lattice resolution for --use_shear_warp "
               "(default: 2x the stage image resolution — the window spans "

@@ -92,9 +92,9 @@ def _streamed_composite(
     vol: jnp.ndarray,  # [S, A, B, C+1] pre-activated (features..., density)
     Wa: jnp.ndarray,  # [S, U, A] f32 hat weights
     Wb: jnp.ndarray,  # [S, V, B]
-    t_slices: jnp.ndarray,  # [N, S] depth of each slice crossing
+    t_sn: jnp.ndarray,  # [S, N] depth of each slice crossing
     dirs: jnp.ndarray,  # [N, 3] unit ray dirs (world order)
-    inside_ns: jnp.ndarray,  # [N, S] bool in-volume mask
+    inside_sn: jnp.ndarray,  # [S, N] bool in-volume mask
     grid_config,
     white_bkgd: bool,
     background_value: float,
@@ -122,6 +122,15 @@ def _streamed_composite(
               resample+shade+weighted-sum is wrapped in jax.checkpoint so the
               backward RECOMPUTES the block resample (cheap MXU matmuls)
               instead of saving [N, S, C] residuals.
+
+    Every per-sample tensor is kept SLICE-MAJOR ([S, N] / [S, U, V, C]) —
+    the natural output layout of the per-slice resample matmuls. The earlier
+    pixel-major ([N, S]) formulation forced XLA to materialize transposes of
+    each [U, V, S(, C)] block in forward AND backward: 6.2 ms/iter of pure
+    "data formatting" out of a 13.6 ms render step in the r3 profiler trace.
+    Slice-major keeps the compositing einsums ("sn,st->tn" scan,
+    "sn,snc->nc" colour reduction) transpose-free; only [N]-shaped outputs
+    (colour, depth, acc) leave in pixel order.
 
     Numerics match the monolithic path exactly: same einsum dtypes/accumulation,
     same weights math. The radiance -INFINITY outside-mask is realized as a
@@ -153,25 +162,29 @@ def _streamed_composite(
 
         tmp_d = shard_axis(mesh, tmp_d, axis=1)
     dens_rs = jnp.einsum(
-        "svb,sub->uvs", Wb.astype(dt), tmp_d,
+        "svb,sub->suv", Wb.astype(dt), tmp_d,
         preferred_element_type=jnp.float32,
-    )  # [U, V, S] f32
+    )  # [S, U, V] f32 (slice-major: no output transpose)
     if mesh is not None:
         from voxe_tpu.parallel.mesh import shard_axis
 
-        dens_rs = shard_axis(mesh, dens_rs, axis=0)
-    dens = d_post(dens_rs).reshape(N, S)
-    dens = jnp.where(inside_ns, dens, 0.0)
+        dens_rs = shard_axis(mesh, dens_rs, axis=1)  # DP over base rows (u)
+    dens = d_post(dens_rs).reshape(S, N)
+    dens = jnp.where(inside_sn, dens, 0.0)
     if noise_std > 0.0:  # reference accumulate.py:59-63 (post-mask, like the
         # exact path where process masks and accumulate then noises)
         assert key is not None, "density noise requires a PRNG key"
-        noise = jax.random.normal(key, dens.shape, dens.dtype) * noise_std
+        # drawn [N, S] in MARCHING order — the monolithic path's exact draw
+        # (accumulate.py:89-94), so streamed==monolithic holds bitwise per
+        # sample under noise; the transpose to slice-major only exists when
+        # the (recon-only, default-off) noise knob is active
+        noise = jax.random.normal(key, (N, S), dens.dtype) * noise_std
         if flip_k:
             # dens is in VOLUME slice order here; the monolithic path flips
             # the volume so its noise lands in MARCHING order — reverse the
             # draw so noise[:, s] attaches to the same physical slice
             noise = noise[:, ::-1]
-        dens = dens + noise
+        dens = dens + noise.T
 
     # weights via the exp(-cumsum) identity (accumulate.py:133-143); unit ray
     # dirs => no dir-norm scaling; final delta = slab spacing.
@@ -189,21 +202,21 @@ def _streamed_composite(
     # marching branches skip the [S, A, B, C] volume reverse (and its
     # backward) entirely.
     if flip_k:
-        d = t_slices[..., :-1] - t_slices[..., 1:]  # positive: t descending
-        deltas = jnp.concatenate([d[..., :1], d], axis=-1)  # [N, S]
+        d = t_sn[:-1] - t_sn[1:]  # positive: t descending
+        deltas = jnp.concatenate([d[:1], d], axis=0)  # [S, N]
     else:
-        d = t_slices[..., 1:] - t_slices[..., :-1]
-        deltas = jnp.concatenate([d, d[..., -1:]], axis=-1)  # [N, S]
-    x = dens * deltas  # [N, S] per-sample optical thickness
+        d = t_sn[1:] - t_sn[:-1]
+        deltas = jnp.concatenate([d, d[-1:]], axis=0)  # [S, N]
+    x = dens * deltas  # [S, N] per-sample optical thickness
     ones_ss = jnp.ones((S, S), jnp.float32)
     tri = jnp.tril(ones_ss) if flip_k else jnp.triu(ones_ss)
     optical = jnp.einsum(
-        "ns,st->nt", x, tri, preferred_element_type=jnp.float32
+        "st,sn->tn", tri, x, preferred_element_type=jnp.float32
     )  # inclusive optical depth along the marching direction
     t_incl = jnp.exp(-optical)
     t_excl = jnp.exp(x - optical)  # exclusive sum = inclusive - x
-    weights = t_excl - t_incl  # [N, S]
-    acc_render = 1.0 - (t_incl[..., :1] if flip_k else t_incl[..., -1:])
+    weights = t_excl - t_incl  # [S, N]
+    acc_render = 1.0 - (t_incl[:1] if flip_k else t_incl[-1:]).reshape(N, 1)
 
     # ---- pass 2: blockwise weighted shading
     feats_pre = vol[..., :-1]  # [S, A, B, C1-1]
@@ -214,11 +227,11 @@ def _streamed_composite(
     n_coeffs = (C1 - 1) // num_channels
     sh_degree = int(math.isqrt(n_coeffs)) - 1
     w_dt = weights.astype(dt)
-    dirs_b = dirs[:, None, :]  # broadcasts through SH
+    dirs_b = dirs[None, :, :]  # [1, N, 3] broadcasts through SH over slices
 
     def shade_block(vol_b, Wa_b, Wb_b, w_b, in_b):
-        # vol_b [Sb, A, B, Cf]; Wa_b [Sb, U, A]; Wb_b [Sb, V, B]; w_b [N, Sb]
-        # in_b [N, Sb] in-window mask
+        # vol_b [Sb, A, B, Cf]; Wa_b [Sb, U, A]; Wb_b [Sb, V, B]; w_b [Sb, N]
+        # in_b [Sb, N] in-window mask
         tmp = jnp.einsum(
             "sua,sabc->subc", Wa_b.astype(dt), vol_b,
             preferred_element_type=jnp.float32,
@@ -228,24 +241,28 @@ def _streamed_composite(
 
             tmp = shard_axis(mesh, tmp, axis=1)
         res = jnp.einsum(
-            "svb,subc->uvsc", Wb_b.astype(dt), tmp,
+            "svb,subc->suvc", Wb_b.astype(dt), tmp,
             preferred_element_type=jnp.float32,
-        )  # [U, V, Sb, Cf] f32-accumulated
+        )  # [Sb, U, V, Cf] f32-accumulated (slice-major: no output transpose)
+        if mesh is not None:
+            from voxe_tpu.parallel.mesh import shard_axis
+
+            res = shard_axis(mesh, res, axis=1)
         Sb = vol_b.shape[0]
-        feats = f_post(res.astype(dt)).reshape(N, Sb, num_channels, n_coeffs)
+        feats = f_post(res.astype(dt)).reshape(Sb, N, num_channels, n_coeffs)
         shade_degree = 0 if diffuse_only else sh_degree
         raw_rad = evaluate_spherical_harmonics(
             degree=shade_degree,
             sh_coeffs=feats[..., :1] if diffuse_only else feats,
             viewdirs=dirs_b,
-        )  # [N, Sb, C]
+        )  # [Sb, N, C]
         # outside-window radiance mask (process.py:78-85 parity, realized as
         # sigmoid(-INF) == 0 colour): with density noise active the masked
         # density no longer guarantees w_s == 0 outside the window, so the
         # zero-padded resampled features must not shade into the composite
         colour_b = jnp.where(in_b[..., None], jax.nn.sigmoid(raw_rad), 0.0)
         out = jnp.einsum(
-            "ns,nsc->nc", w_b, colour_b, preferred_element_type=jnp.float32
+            "sn,snc->nc", w_b, colour_b, preferred_element_type=jnp.float32
         )
         if with_diffuse:
             if sh_degree == 0:
@@ -257,7 +274,7 @@ def _streamed_composite(
             )
             diff_col = jnp.where(in_b[..., None], jax.nn.sigmoid(diff_rad), 0.0)
             out_d = jnp.einsum(
-                "ns,nsc->nc", w_b, diff_col,
+                "sn,snc->nc", w_b, diff_col,
                 preferred_element_type=jnp.float32,
             )
             return out, out_d
@@ -272,8 +289,8 @@ def _streamed_composite(
             feats_pre[start:stop],
             Wa[start:stop],
             Wb[start:stop],
-            w_dt[:, start:stop],
-            inside_ns[:, start:stop],
+            w_dt[start:stop],
+            inside_sn[start:stop],
         )
         colour_render = colour_render + c_b
         if with_diffuse:
@@ -285,7 +302,7 @@ def _streamed_composite(
         if with_diffuse:
             diffuse_render = diffuse_render + bg
 
-    depth_render = jnp.sum(t_slices * weights, axis=-1, keepdims=True)
+    depth_render = jnp.sum(t_sn * weights, axis=0).reshape(N, 1)
     disparity_render = safe_disparity(depth_render, acc_render)
     extra = {
         EXTRA_DISPARITY: disparity_render,
@@ -386,26 +403,30 @@ def _render_canonical(
         inv[ax] = i
     dirs = jnp.stack([dirs[:, inv[0]], dirs[:, inv[1]], dirs[:, inv[2]]], axis=1)
 
-    # depth of each slice crossing: t_j = |v| * τ_j (slice-index order)
-    t_slices = v_norm[:, None] * tau_o[None, :]  # [U*V, S]
-
     # outside-AABB masking (process.py:78-85 parity): without it the
     # zero-padded PRE-activation density turns into softplus(0) fog
     in_a = (src_a >= -0.5) & (src_a <= A - 0.5)  # [S, U]
     in_b = (src_b >= -0.5) & (src_b <= B - 0.5)  # [S, V]
 
     if stream_composite:
-        inside_ns = (
-            in_a.T[:, None, :] & in_b.T[None, :, :]  # [U, V, S]
-        ).reshape(U * V, S)
+        # slice-major layouts throughout (see _streamed_composite docstring):
+        # both the mask and the slice depths are BUILT [S, N] — never
+        # materialized pixel-major and transposed
+        inside_sn = (in_a[:, :, None] & in_b[:, None, :]).reshape(S, U * V)
+        t_sn = tau_o[:, None] * v_norm[None, :]  # [S, U*V]
         out = _streamed_composite(
-            vol, Wa, Wb, t_slices, dirs, inside_ns, grid_config,
+            vol, Wa, Wb, t_sn, dirs, inside_sn, grid_config,
             config.white_bkgd, background_value, with_diffuse, mesh,
             flip_k=flip_k, num_shade_channels=num_shade_channels,
             noise_std=getattr(config, "stochastic_density_noise_std", 0.0),
             key=key, diffuse_only=diffuse_only,
         )
-        return out, (eye_w, dirs, t_slices, lo, hi)
+        # the geometry tuple's t_slices leg has no consumer on the streamed
+        # path (render_shear_warp drops it before the lax.switch boundary)
+        return out, (eye_w, dirs, None, lo, hi)
+
+    # depth of each slice crossing: t_j = |v| * τ_j (slice-index order)
+    t_slices = v_norm[:, None] * tau_o[None, :]  # [U*V, S]
 
     # ---- monolithic fallback (exact-parity experiments / fused kernel):
     # resample every slice onto the base pixel lattice: two MXU contractions.
