@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import argparse
 import collections
+import math
+import os
 import re
 import sys
 import time
@@ -23,7 +25,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--frame", type=int, default=400)
+    # Mirror bench.py's env knobs so the dump corresponds (and cache-hits)
+    # to a benchmark run made with the same settings.
+    p.add_argument(
+        "--frame", type=int, default=int(os.environ.get("VOXE_BENCH_BASE", "400"))
+    )
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--sd_version", type=str, default="2.0")
     p.add_argument("--out", type=str, default="/tmp/shearwarp_edit_hlo.txt")
@@ -52,6 +58,7 @@ def main() -> None:
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
+        use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "0") == "1",
     )
     sd = StableDiffusion(sd_version=args.sd_version, init_mode="zeros")
     text = sd.get_text_embeds("a dog made of yarn, front view", "")
@@ -87,10 +94,11 @@ def main() -> None:
     shapes = collections.Counter(
         m.group(0) for m in re.finditer(r"f32\[[0-9,]{8,}\]|bf16\[[0-9,]{8,}\]", hlo)
     )
-    big = sorted(
-        shapes,
-        key=lambda s: -eval(s[s.index("[") + 1 : -1].replace(",", "*") or "0"),
-    )[:10]
+    def _numel(s: str) -> int:
+        dims = s[s.index("[") + 1 : -1]
+        return math.prod(int(d) for d in dims.split(",") if d)
+
+    big = sorted(shapes, key=lambda s: -_numel(s))[:10]
     print("largest shapes:", big)
 
 

@@ -550,6 +550,148 @@ def make_sds_train_multi_step(
     return jax.jit(multi_step)
 
 
+def make_sds_train_multi_step_data(
+    sd: StableDiffusion,
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    base_hw: tuple,
+    num_frames: int,
+    steps_per_call: int,
+    *,
+    do_sds: bool = True,
+    guidance_scale: float = 100.0,
+    density_correlation_weight: float = 0.0,
+    feature_correlation_weight: float = 0.0,
+    tv_density_weight: float = 0.0,
+    tv_features_weight: float = 0.0,
+    uncoupled_mode: bool = False,
+    uncoupled_l2_mode: bool = False,
+    l2_mode: bool = False,
+    l1_mode: bool = False,
+    mesh=None,
+) -> Callable:
+    """K fully-fused SDS edit steps per dispatch, DATASET-pose modes.
+
+    The real-scene recipe (reference sds_trainer.py:244-267,
+    bash_scripts/real_scenes/edit_demo_real.sh:22-46) draws batches of
+    dataset poses instead of random hemisphere poses. Dataset poses are
+    static per scene, so the whole per-pose state — rotations, translations,
+    pre-warped base-plane targets/masks (uncoupled mode), and the
+    view-direction bucket — rides in ONCE as device arrays and the scan body
+    gathers its step's rows by index, exactly as the hemisphere path
+    (make_sds_train_multi_step) scans over PRNG keys. On the relay transport,
+    fusing K steps into one dispatch cut the refinement loop's sustained cost
+    163.8 -> 117 ms/iter (BENCHMARKS.md); this closes the same dispatch tax
+    on real-scene edits (VERDICT r3 missing-3).
+
+    signature: multi_step(grid, opt_state, sd_params,
+                          text_by_dir [4, 2, 77, D],
+                          pose_rots [P, 3, 3], pose_transs [P, 3, 1],
+                          base_pixels [P, U, V, 3], base_masks [P, U, V]
+                            (dummy [1, ...] when not uncoupled),
+                          dir_idx_per_pose [P],
+                          pose_idx [K, B] int32,
+                          ref_densities, ref_features,
+                          t_bounds [K, 2], key)
+               -> (grid, opt_state, last-step metrics)
+    """
+    from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
+
+    base_hw = tuple(base_hw)
+
+    def multi_step(
+        grid, opt_state, sd_params, text_by_dir, pose_rots, pose_transs,
+        base_pixels, base_masks, dir_idx_per_pose, pose_idx,
+        ref_densities, ref_features, t_bounds, key,
+    ):
+        def body(carry, inputs):
+            grid_, opt_state_ = carry
+            idx, t_lo, t_hi, step_key = inputs
+            k_t, k_render, k_sds = jax.random.split(step_key, 3)
+            if mesh is not None:
+                from voxe_tpu.parallel.mesh import replicate
+
+                grid_ = replicate(mesh, grid_)
+            t = jax.random.randint(k_t, (), t_lo, t_hi + 1)
+            rots = pose_rots[idx]  # [B, 3, 3] row gather — bytes, not FLOPs
+            transs = pose_transs[idx]
+            # batch direction = first pose's bucket (reference takes
+            # dir_batch[0], sds_trainer.py:263-267)
+            text_embeddings = text_by_dir[dir_idx_per_pose[idx[0]]]
+            if uncoupled_mode:
+                pix = base_pixels[idx]  # [B, U, V, 3]
+                msk = base_masks[idx]
+
+            def loss_fn(g):
+                total = jnp.zeros(())
+                metrics = {}
+                frames = []
+                photometric = jnp.zeros(())
+                for i in range(num_frames):
+                    rot = rots[i]
+                    pose = CameraPose(rotation=rot, translation=transs[i])
+                    out, _ = render_shear_warp(
+                        g, pose, render_config, base_hw=base_hw,
+                        key=jax.random.fold_in(k_render, i),
+                        mesh=mesh,
+                    )
+                    img = out.colour.reshape(*base_hw, 3)
+                    if uncoupled_mode:
+                        m = msk[i][..., None]
+                        denom = jnp.maximum(jnp.sum(msk[i]) * 3.0, 1.0)
+                        diff = img - pix[i]
+                        photometric = photometric + (
+                            jnp.sum((diff**2) * m) if uncoupled_l2_mode
+                            else jnp.sum(jnp.abs(diff) * m)
+                        ) / denom
+                    frames.append(orient_base_image(img, rot))
+                if do_sds:
+                    imgs = jnp.stack(frames)
+                    total = total + sd.sds_loss(
+                        sd_params, text_embeddings, imgs, k_sds, t, guidance_scale
+                    )
+                if uncoupled_mode:
+                    photometric = photometric / num_frames
+                    total = total + photometric * density_correlation_weight
+                    metrics["specular_loss"] = photometric
+                else:
+                    dcl, _ = density_correlation_loss_fn(
+                        g.densities, ref_densities, l2_mode=l2_mode, l1_mode=l1_mode
+                    )
+                    total = total + dcl * density_correlation_weight
+                    metrics["density_correlation_loss"] = dcl
+                    if feature_correlation_weight > 0.0:
+                        fcl = feature_correlation_loss(g.features, ref_features)
+                        total = total + fcl * feature_correlation_weight
+                        metrics["feature_correlation_loss"] = fcl
+                if tv_density_weight > 0.0:
+                    tv_d = tv_loss_on_grid(jax.nn.relu(g.densities))
+                    total = total + tv_d * tv_density_weight
+                    metrics["tv_density_loss"] = tv_d
+                if tv_features_weight > 0.0:
+                    tv_f = tv_loss_on_grid(g.features)
+                    total = total + tv_f * tv_features_weight
+                    metrics["tv_features_loss"] = tv_f
+                return total, metrics
+
+            (total_loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(grid_)
+            updates, new_opt_state = optimizer.update(grads, opt_state_, grid_)
+            new_grid = optax.apply_updates(grid_, updates)
+            metrics["total_loss"] = total_loss
+            return (new_grid, new_opt_state), metrics
+
+        keys = jax.random.split(key, steps_per_call)
+        (grid, opt_state), metrics = jax.lax.scan(
+            body, (grid, opt_state),
+            (pose_idx, t_bounds[:, 0], t_bounds[:, 1], keys),
+        )
+        return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step)
+
+
 def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     sds_vol_mod: VolumetricModel,
     pretrained_vol_mod: VolumetricModel,
@@ -666,8 +808,18 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
         steps_per_call > 1 and not uncoupled_mode and not data_pose_mode
         and sds_loss_wrapper.directional
     )
+    # K-step dispatch fusion for the DATASET-pose modes (the real-scene
+    # recipe) — VERDICT r3 missing-3: dataset poses are static per scene, so
+    # the scan body gathers its step's pose rows by index
+    use_fused_data = (
+        steps_per_call > 1 and sw_data_mode and sds_loss_wrapper.directional
+    )
     batch_size_in_images = max(1, int(ray_batch_size / (im_h * im_w)))
-    if sw_data_mode:
+    if uncoupled_mode or data_pose_mode:
+        # iter_batches clamps to the dataset size; the static per-step frame
+        # count must match what the batches actually carry
+        batch_size_in_images = min(batch_size_in_images, len(train_dataset))
+    if sw_data_mode and not use_fused_data:
         step_fn = make_sds_train_step_shearwarp_data(
             sd,
             sds_vol_mod.render_config,
@@ -685,7 +837,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
             l1_mode=l1_mode,
             mesh=mesh,
         )
-    elif sw_active and not use_fused:
+    elif sw_active and not use_fused and not use_fused_data:
         step_fn = make_sds_train_step_shearwarp(
             sd,
             sds_vol_mod.render_config,
@@ -700,8 +852,27 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
             l1_mode=l1_mode,
             mesh=mesh,
         )
-    elif use_fused:
+    elif use_fused or use_fused_data:
         def _build_multi_step(k: int):
+            if use_fused_data:
+                return make_sds_train_multi_step_data(
+                    sd,
+                    sds_vol_mod.render_config,
+                    optimizer,
+                    sw_base_hw,
+                    batch_size_in_images,
+                    k,
+                    do_sds=do_sds,
+                    density_correlation_weight=density_correlation_weight,
+                    feature_correlation_weight=feature_correlation_weight,
+                    tv_density_weight=tv_density_weight,
+                    tv_features_weight=tv_features_weight,
+                    uncoupled_mode=uncoupled_mode,
+                    uncoupled_l2_mode=uncoupled_l2_mode,
+                    l2_mode=l2_mode,
+                    l1_mode=l1_mode,
+                    mesh=mesh,
+                )
             return make_sds_train_multi_step(
                 sd,
                 sds_vol_mod.render_config,
@@ -774,6 +945,19 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
                 base_masks = jnp.zeros((1, *sw_base_hw))
             sw_zero_pix = jnp.zeros((B, *sw_base_hw, 3))
             sw_zero_msk = jnp.zeros((B, *sw_base_hw))
+            if use_fused_data:
+                # per-pose state rides in once; the scan body gathers by index
+                fused_pose_rots = jnp.asarray(train_dataset.poses[:, :, :3])
+                fused_pose_transs = jnp.asarray(train_dataset.poses[:, :, 3:])
+                fused_dir_idx = jnp.asarray(
+                    [
+                        DIR_TO_NUM_DICT[d]
+                        for d in get_dir_batch_from_poses(
+                            np.asarray(train_dataset.poses)
+                        )
+                    ],
+                    dtype=jnp.int32,
+                )
 
     log.info(
         f"beginning SDS edit training: grid {grid.grid_dims}, "
@@ -786,7 +970,8 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     direction = "front"
     zero_pixels = jnp.zeros((im_h * im_w * batch_size_in_images, 3))
 
-    if use_fused:
+    if use_fused or use_fused_data:
+        current_batch_idx = None
         for chunk_start in range(1, num_iterations + 1, steps_per_call):
             chunk = min(steps_per_call, num_iterations - chunk_start + 1)
             if chunk not in multi_step_fns:
@@ -803,10 +988,34 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
                 )
             t_bounds = jnp.asarray(bounds, dtype=jnp.int32)
             key, k_step = jax.random.split(key)
-            grid, opt_state, metrics = multi_step_fn(
-                grid, opt_state, sd.params, text_by_dir,
-                ref_densities, ref_features, t_bounds, k_step,
-            )
+            if use_fused_data:
+                # per-step pose batches, honoring new_frame_frequency
+                # (reference sds_trainer.py:241-267)
+                idx_rows = []
+                for gs in range(chunk_start, chunk_start + chunk):
+                    if (
+                        current_batch_idx is None
+                        or gs % new_frame_frequency == 0
+                        or gs == 1
+                    ):
+                        current_batch_idx = np.asarray(next(batch_iter))
+                    idx_rows.append(current_batch_idx)
+                pose_idx = jnp.asarray(np.stack(idx_rows), dtype=jnp.int32)
+                current_pose = CameraPose(
+                    rotation=train_dataset.poses[current_batch_idx[0]][:, :3],
+                    translation=train_dataset.poses[current_batch_idx[0]][:, 3:],
+                )
+                grid, opt_state, metrics = multi_step_fn(
+                    grid, opt_state, sd.params, text_by_dir,
+                    fused_pose_rots, fused_pose_transs,
+                    base_targets, base_masks, fused_dir_idx, pose_idx,
+                    ref_densities, ref_features, t_bounds, k_step,
+                )
+            else:
+                grid, opt_state, metrics = multi_step_fn(
+                    grid, opt_state, sd.params, text_by_dir,
+                    ref_densities, ref_features, t_bounds, k_step,
+                )
             global_step = chunk_start + chunk - 1
             time_training += time.perf_counter() - last_time
             last_iter = global_step >= num_iterations
@@ -835,6 +1044,8 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
 
                 if render_feedback_pose is not None:
                     feedback_pose = render_feedback_pose
+                elif use_fused_data:  # last dispatched batch's first pose
+                    feedback_pose = current_pose
                 else:  # fused chunks draw poses in-jit; sample one host-side
                     feedback_pose, _, _, _ = get_random_pose(
                         HEMISPHERICAL_RADIUS_CONSTANT, rng
