@@ -21,8 +21,9 @@
 #   3. local SDS edit + refinement: "a render of a dog wearing a party hat"
 #      (only when SD14_WEIGHTS_DIR is staged — refinement uses SD 1.4,
 #      reference attn_grid_trainer.py:154)
-#   4. turntable renders of ref + both edited models
-#   5. CLIP-sim / FID / PSNR metrics CSV when CLIP_MODEL_DIR is staged
+#   4. turntable renders of ref + both edited models (PNG frames + prompt.txt)
+#   5. quality-metrics CSV — ALWAYS runs (PSNR is weight-free); CLIP columns
+#      fill in when CLIP_MODEL_DIR is staged, FID when INCEPTION_MODEL_DIR is
 #
 # TINY=1 runs the IDENTICAL script path end-to-end at plumbing scale (random
 # tiny-SD weights, hash tokenizer, few iterations) — this is what CI
@@ -104,26 +105,43 @@ else
     echo "SD14_WEIGHTS_DIR not staged -> skipping local-edit/refinement leg"
 fi
 
-echo "== stage 4: turntable renders =="
+echo "== stage 4: turntable renders (PNG frames feed the metrics stage) =="
 python render_sh_based_voxel_grid.py \
     -i "$REF_MODEL" \
-    -o "$OUT_ROOT/renders/ref/" "${RENDER_ARGS[@]}"
+    -o "$OUT_ROOT/renders/ref/" "${RENDER_ARGS[@]}" \
+    --save_freq 1 -p "a render of a light gray dog"
 python render_sh_based_voxel_grid.py \
     -i "$OUT_ROOT/$LOG_NAME/saved_models/model_final.pth" \
-    -o "$OUT_ROOT/renders/$LOG_NAME/" "${RENDER_ARGS[@]}"
+    -o "$OUT_ROOT/renders/$LOG_NAME/" "${RENDER_ARGS[@]}" \
+    --save_freq 1 -p "$PROMPT"
 if [ -f "$OUT_ROOT/$LOCAL_LOG_NAME/saved_models/model_final_refined.pth" ]; then
     python render_sh_based_voxel_grid.py \
         -i "$OUT_ROOT/$LOCAL_LOG_NAME/saved_models/model_final_refined.pth" \
-        -o "$OUT_ROOT/renders/$LOCAL_LOG_NAME/" "${RENDER_ARGS[@]}"
+        -o "$OUT_ROOT/renders/$LOCAL_LOG_NAME/" "${RENDER_ARGS[@]}" \
+        --save_freq 1 -p "$LOCAL_PROMPT"
 fi
 
-if [ -n "${CLIP_MODEL_DIR:-}" ]; then
-    echo "== stage 5: CLIP-sim / FID metrics =="
-    python evaluation/calculate_metrics.py \
-        -d "$OUT_ROOT/renders/" \
-        --clip_model_dir "$CLIP_MODEL_DIR" \
-        ${INCEPTION_MODEL_DIR:+--inception_model_dir "$INCEPTION_MODEL_DIR"}
+echo "== stage 5: quality metrics (CLIP-sim / FID / PSNR -> CSV) =="
+# assemble the reference's results layout (<scene>/{inputs,recon,<prompt>}/,
+# evaluation/calculate_metrics.py:56-148) from the stage-4 frames. PSNR is
+# always computed; CLIP/FID columns need their staged weight dirs.
+METRICS_DIR="$OUT_ROOT/metrics/dog2"
+mkdir -p "$METRICS_DIR/inputs" "$METRICS_DIR/recon" \
+    "$METRICS_DIR/$LOG_NAME" "$METRICS_DIR/$LOCAL_LOG_NAME"
+find "$DATA_DIR" -name '*.png' | head -8 | while read -r f; do
+    cp "$f" "$METRICS_DIR/inputs/"
+done
+cp "$OUT_ROOT/renders/ref/"*.png "$OUT_ROOT/renders/ref/prompt.txt" "$METRICS_DIR/recon/"
+cp "$OUT_ROOT/renders/$LOG_NAME/"*.png "$OUT_ROOT/renders/$LOG_NAME/prompt.txt" \
+    "$METRICS_DIR/$LOG_NAME/"
+if [ -f "$OUT_ROOT/renders/$LOCAL_LOG_NAME/prompt.txt" ]; then
+    cp "$OUT_ROOT/renders/$LOCAL_LOG_NAME/"*.png \
+        "$OUT_ROOT/renders/$LOCAL_LOG_NAME/prompt.txt" "$METRICS_DIR/$LOCAL_LOG_NAME/"
 else
-    echo "CLIP_MODEL_DIR not staged -> skipping CLIP-sim/FID stage"
+    rmdir "$METRICS_DIR/$LOCAL_LOG_NAME"
 fi
+python evaluation/calculate_metrics.py \
+    -d "$OUT_ROOT/metrics/" \
+    ${CLIP_MODEL_DIR:+--clip_model_dir "$CLIP_MODEL_DIR"} \
+    ${INCEPTION_MODEL_DIR:+--inception_model_dir "$INCEPTION_MODEL_DIR"}
 echo "demo complete."

@@ -115,7 +115,7 @@ def avg_clip_directional_sim(
     total = 0.0
     for out_f, ref_f in zip(out_img_features, ref_img_features):
         im_dir = _normed(ref_f[None]) - _normed(out_f[None])
-        total += float(text_dir @ im_dir.T)
+        total += float((text_dir @ im_dir.T).item())
     return total / len(out_img_features)
 
 
@@ -129,7 +129,10 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     from scipy import linalg
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    try:
+        covmean = linalg.sqrtm(sigma1 @ sigma2)
+    except linalg.LinAlgError:  # singular product: retry with jitter below
+        covmean = np.full_like(sigma1, np.nan)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
@@ -139,22 +142,25 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 class InceptionEmbedder:
-    """Pool3 features from a local torchvision InceptionV3 state dict."""
+    """Pool3 features from a local torchvision-layout InceptionV3 state dict.
+
+    torchvision itself is not a dependency: the architecture is in-tree
+    (evaluation/inception.py, attribute-compatible with torchvision's
+    ``Inception3``), so any ``inception_v3.pth`` a user stages — including the
+    real ImageNet weights the reference's pytorch_fid path uses — loads with
+    strict key matching."""
 
     def __init__(self, model_dir: Path):
         import torch
-        import torchvision
+
+        from evaluation.inception import load_inception_v3
 
         self.torch = torch
-        model = torchvision.models.inception_v3(weights=None, aux_logits=True)
         state = torch.load(
             Path(model_dir) / "inception_v3.pth", map_location="cpu",
             weights_only=True,
         )
-        model.load_state_dict(state)
-        model.fc = torch.nn.Identity()
-        model.eval()
-        self.model = model
+        self.model = load_inception_v3(state)
 
     def features(self, imgs: Sequence[Image.Image]) -> np.ndarray:
         import torch
@@ -165,7 +171,7 @@ class InceptionEmbedder:
                 arr = np.asarray(img.resize((299, 299), Image.BILINEAR), np.float32)
                 arr = (arr / 255.0 - 0.5) / 0.5
                 t = torch.from_numpy(arr).permute(2, 0, 1)[None]
-                feats.append(self.model(t).numpy()[0])
+                feats.append(self.model.pool3_features(t).numpy()[0])
         return np.stack(feats)
 
 

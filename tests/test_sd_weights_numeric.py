@@ -237,3 +237,640 @@ def test_checkpoint_dir_loads_into_stable_diffusion(tmp_path):
     emb = sd.get_text_embeds("a yarn dog", "")
     assert emb.shape == (2, 77, cfg.clip.hidden_size)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+# ====================================================================================
+# UNet / VAE block-level torch parity (VERDICT r3 missing-1 / next-3)
+#
+# diffusers is not installed, so each block is hand-assembled IN TORCH with
+# diffusers' exact parameter names (its state_dict keys are what real SD
+# checkpoints contain) and diffusers' published forward semantics. The torch
+# reference is initialized randomly, its state dict is fed through OUR
+# converter (weights.py name maps + layout transforms), and the flax module
+# must reproduce the torch activations. This breaks the converter circularity
+# that previously only the CLIP tower escaped: a wrong name map, a wrong
+# OIHW->HWIO transpose, a wrong norm epsilon, or wrong block wiring all fail
+# here. Reference forward semantics: thre3d_atom/thre3d_reprs/sd.py:77-92
+# loads these exact architectures.
+# ====================================================================================
+
+import math  # noqa: E402
+
+import torch.nn.functional as TF  # noqa: E402
+from torch import nn as tnn  # noqa: E402
+
+from voxe_tpu.models.sd.config import tiny_test_config as _tiny_cfg  # noqa: E402
+from voxe_tpu.models.sd.unet import (  # noqa: E402
+    BasicTransformerBlock,
+    ResnetBlock2D,
+    Transformer2D,
+    UNet2DConditionModel,
+    timestep_embedding,
+)
+from voxe_tpu.models.sd.vae import (  # noqa: E402
+    AttnBlock,
+    AutoencoderKL,
+    ResnetBlock as VAEResnetBlock,
+)
+from voxe_tpu.models.sd.weights import unet_name_fn, vae_name_fn  # noqa: E402
+
+ATOL = 1e-4
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def _nhwc(t):  # torch NCHW tensor -> numpy NHWC
+    return _np(t.permute(0, 2, 3, 1))
+
+
+def _convert_from_torch(flax_params, torch_module, name_fn, prefix: str = ""):
+    tensors = {
+        (prefix + k if prefix else k): v.numpy()
+        for k, v in torch_module.state_dict().items()
+    }
+    return convert_params(flax_params, tensors, name_fn)
+
+
+class _Holder(tnn.Module):
+    """Bare module used to reproduce diffusers' nested attribute names."""
+
+
+# ---- torch reference blocks (diffusers parameter names + semantics) ----
+
+
+class TorchResnetBlock2D(tnn.Module):
+    def __init__(self, in_ch, out_ch, temb_dim, groups):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(groups, in_ch, eps=1e-5)
+        self.conv1 = tnn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.time_emb_proj = tnn.Linear(temb_dim, out_ch)
+        self.norm2 = tnn.GroupNorm(groups, out_ch, eps=1e-5)
+        self.conv2 = tnn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = (
+            tnn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
+        )
+
+    def forward(self, x, temb):
+        h = self.conv1(TF.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(TF.silu(temb))[:, :, None, None]
+        h = self.conv2(TF.silu(self.norm2(h)))
+        sc = x if self.conv_shortcut is None else self.conv_shortcut(x)
+        return sc + h
+
+
+class TorchVAEResnetBlock(tnn.Module):
+    def __init__(self, in_ch, out_ch, groups):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(groups, in_ch, eps=1e-6)
+        self.conv1 = tnn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.norm2 = tnn.GroupNorm(groups, out_ch, eps=1e-6)
+        self.conv2 = tnn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = (
+            tnn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
+        )
+
+    def forward(self, x):
+        h = self.conv1(TF.silu(self.norm1(x)))
+        h = self.conv2(TF.silu(self.norm2(h)))
+        sc = x if self.conv_shortcut is None else self.conv_shortcut(x)
+        return sc + h
+
+
+class TorchAttention(tnn.Module):
+    """Multi-head attention with diffusers' to_q/to_k/to_v/to_out.0 names."""
+
+    def __init__(self, dim, heads, context_dim=None):
+        super().__init__()
+        self.heads = heads
+        ctx = context_dim or dim
+        self.to_q = tnn.Linear(dim, dim, bias=False)
+        self.to_k = tnn.Linear(ctx, dim, bias=False)
+        self.to_v = tnn.Linear(ctx, dim, bias=False)
+        self.to_out = tnn.ModuleList([tnn.Linear(dim, dim)])
+
+    def forward(self, x, context=None):
+        ctx = x if context is None else context
+        B, T, C = x.shape
+        h, d = self.heads, C // self.heads
+        q = self.to_q(x).reshape(B, T, h, d).transpose(1, 2)
+        k = self.to_k(ctx).reshape(B, ctx.shape[1], h, d).transpose(1, 2)
+        v = self.to_v(ctx).reshape(B, ctx.shape[1], h, d).transpose(1, 2)
+        probs = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d), dim=-1)
+        out = (probs @ v).transpose(1, 2).reshape(B, T, C)
+        return self.to_out[0](out)
+
+
+class TorchGEGLU(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.proj = tnn.Linear(dim, dim * 8)
+
+    def forward(self, x):
+        a, gate = self.proj(x).chunk(2, dim=-1)
+        return a * TF.gelu(gate)  # exact erf gelu (diffusers GEGLU)
+
+
+class TorchFeedForward(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.net = tnn.ModuleList(
+            [TorchGEGLU(dim), tnn.Identity(), tnn.Linear(dim * 4, dim)]
+        )
+
+    def forward(self, x):
+        for m in self.net:
+            x = m(x)
+        return x
+
+
+class TorchBasicTransformerBlock(tnn.Module):
+    def __init__(self, dim, heads, ctx_dim):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn1 = TorchAttention(dim, heads)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.attn2 = TorchAttention(dim, heads, ctx_dim)
+        self.norm3 = tnn.LayerNorm(dim)
+        self.ff = TorchFeedForward(dim)
+
+    def forward(self, x, context):
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context)
+        return x + self.ff(self.norm3(x))
+
+
+class TorchTransformer2D(tnn.Module):
+    def __init__(self, dim, heads, ctx_dim, groups, use_linear_projection):
+        super().__init__()
+        self.use_linear = use_linear_projection
+        self.norm = tnn.GroupNorm(groups, dim, eps=1e-6)
+        if use_linear_projection:  # SD 2.x storage
+            self.proj_in = tnn.Linear(dim, dim)
+            self.proj_out = tnn.Linear(dim, dim)
+        else:  # SD 1.x storage: 1x1 convs
+            self.proj_in = tnn.Conv2d(dim, dim, 1)
+            self.proj_out = tnn.Conv2d(dim, dim, 1)
+        self.transformer_blocks = tnn.ModuleList(
+            [TorchBasicTransformerBlock(dim, heads, ctx_dim)]
+        )
+
+    def forward(self, x, context):
+        B, C, H, W = x.shape
+        residual = x
+        h = self.norm(x)
+        if self.use_linear:
+            h = h.permute(0, 2, 3, 1).reshape(B, H * W, C)
+            h = self.proj_in(h)
+        else:
+            h = self.proj_in(h).permute(0, 2, 3, 1).reshape(B, H * W, C)
+        h = self.transformer_blocks[0](h, context)
+        if self.use_linear:
+            h = self.proj_out(h)
+            h = h.reshape(B, H, W, C).permute(0, 3, 1, 2)
+        else:
+            h = self.proj_out(h.reshape(B, H, W, C).permute(0, 3, 1, 2))
+        return h + residual
+
+
+class TorchVAEAttnBlock(tnn.Module):
+    """Diffusers VAE mid-block attention: single head over H*W tokens."""
+
+    def __init__(self, ch, groups):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(groups, ch, eps=1e-6)
+        self.to_q = tnn.Linear(ch, ch)
+        self.to_k = tnn.Linear(ch, ch)
+        self.to_v = tnn.Linear(ch, ch)
+        self.to_out = tnn.ModuleList([tnn.Linear(ch, ch)])
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        h = self.group_norm(x).permute(0, 2, 3, 1).reshape(B, H * W, C)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        probs = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(C), dim=-1)
+        out = self.to_out[0](probs @ v)
+        return x + out.reshape(B, H, W, C).permute(0, 3, 1, 2)
+
+
+# ---- block-level parity tests ----
+
+
+@pytest.mark.parametrize("channels", [(8, 8), (8, 16)], ids=["same-ch", "shortcut"])
+def test_unet_resnet_block_matches_torch(channels):
+    in_ch, out_ch = channels
+    groups, temb_dim = 4, 24
+    torch.manual_seed(0)
+    ref = TorchResnetBlock2D(in_ch, out_ch, temb_dim, groups).eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 6, 6, in_ch)).astype(np.float32)
+    temb = rng.standard_normal((2, temb_dim)).astype(np.float32)
+
+    ours = ResnetBlock2D(out_ch, groups)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(temb))[
+        "params"
+    ]
+    # name the torch block as a down-block resnet so unet_name_fn resolves it
+    def name_fn(path):
+        return unet_name_fn(f"down_0_resnet_0/{path}")
+
+    params = _convert_from_torch(params, ref, name_fn, prefix="down_blocks.0.resnets.0.")
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(temb)))
+    with torch.no_grad():
+        y_ref = _nhwc(
+            ref(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(temb))
+        )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+def test_basic_transformer_block_matches_torch():
+    dim, heads, ctx_dim, T = 16, 4, 32, 12
+    torch.manual_seed(1)
+    ref = TorchBasicTransformerBlock(dim, heads, ctx_dim).eval()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, T, dim)).astype(np.float32)
+    ctx = rng.standard_normal((2, 7, ctx_dim)).astype(np.float32)
+
+    ours = BasicTransformerBlock(heads)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))[
+        "params"
+    ]
+
+    def name_fn(path):
+        return unet_name_fn(f"down_0_attn_0/transformer_blocks_0/{path}")
+
+    params = _convert_from_torch(
+        params, ref, name_fn,
+        prefix="down_blocks.0.attentions.0.transformer_blocks.0.",
+    )
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx)))
+    with torch.no_grad():
+        y_ref = _np(ref(torch.tensor(x), torch.tensor(ctx)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+@pytest.mark.parametrize("use_linear", [True, False], ids=["sd2-linear", "sd1-conv1x1"])
+def test_transformer2d_matches_torch_both_proj_storages(use_linear):
+    """proj_in/proj_out are stored as Linear in SD 2.x and as 1x1 Conv2d in
+    SD 1.x; the converter must produce identical math from either."""
+    dim, heads, ctx_dim, groups = 16, 4, 32, 4
+    torch.manual_seed(2)
+    ref = TorchTransformer2D(dim, heads, ctx_dim, groups, use_linear).eval()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 6, 6, dim)).astype(np.float32)
+    ctx = rng.standard_normal((2, 7, ctx_dim)).astype(np.float32)
+
+    ours = Transformer2D(heads, groups)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))[
+        "params"
+    ]
+
+    def name_fn(path):
+        return unet_name_fn(f"down_0_attn_0/{path}")
+
+    params = _convert_from_torch(
+        params, ref, name_fn, prefix="down_blocks.0.attentions.0."
+    )
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx)))
+    with torch.no_grad():
+        y_ref = _nhwc(ref(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(ctx)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+@pytest.mark.parametrize("channels", [(8, 8), (8, 16)], ids=["same-ch", "shortcut"])
+def test_vae_resnet_block_matches_torch(channels):
+    in_ch, out_ch, groups = *channels, 4
+    torch.manual_seed(3)
+    ref = TorchVAEResnetBlock(in_ch, out_ch, groups).eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 6, 6, in_ch)).astype(np.float32)
+
+    ours = VAEResnetBlock(out_ch, groups)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    def name_fn(path):
+        return vae_name_fn(f"encoder/down_0_resnet_0/{path}")
+
+    params = _convert_from_torch(
+        params, ref, name_fn, prefix="encoder.down_blocks.0.resnets.0."
+    )
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = _nhwc(ref(torch.tensor(x).permute(0, 3, 1, 2)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+@pytest.mark.parametrize("legacy_names", [False, True], ids=["to_q", "query-alias"])
+def test_vae_attn_block_matches_torch(legacy_names):
+    """The VAE mid-block attention, under both diffusers namings: modern
+    to_q/to_k/to_v/to_out.0 and the legacy query/key/value/proj_attn aliases
+    older SD checkpoints carry (weights.py _VAE_ATTN_ALIASES)."""
+    ch, groups = 16, 4
+    torch.manual_seed(4)
+    ref = TorchVAEAttnBlock(ch, groups).eval()
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 5, 5, ch)).astype(np.float32)
+
+    ours = AttnBlock(groups)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    tensors = {
+        f"encoder.mid_block.attentions.0.{k}": v.numpy()
+        for k, v in ref.state_dict().items()
+    }
+    if legacy_names:
+        renames = {
+            "to_q": "query", "to_k": "key", "to_v": "value",
+            "to_out.0": "proj_attn",
+        }
+        renamed = {}
+        for k, v in tensors.items():
+            for new, old in renames.items():
+                k = k.replace(f".{new}.", f".{old}.")
+            renamed[k] = v
+        tensors = renamed
+
+    def name_fn(path):
+        return vae_name_fn(f"encoder/mid_attn/{path}")
+
+    params = convert_params(params, tensors, name_fn)
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = _nhwc(ref(torch.tensor(x).permute(0, 3, 1, 2)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+def test_timestep_embedding_matches_torch_reference():
+    """Sinusoidal embedding vs an independent torch implementation of
+    diffusers' get_timestep_embedding (flip_sin_to_cos=True, shift 0)."""
+    dim = 32
+    t = np.asarray([0.0, 1.0, 499.0, 999.0], np.float32)
+    half = dim // 2
+    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float64) / half
+    emb = torch.tensor(t, dtype=torch.float64)[:, None] * exponent.exp()[None]
+    ref = torch.cat([emb.cos(), emb.sin()], dim=-1).numpy()
+    ours = np.asarray(timestep_embedding(jnp.asarray(t), dim))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---- full-model parity (tiny config, full topology) ----
+
+
+class TorchTinyUNet(tnn.Module):
+    """diffusers-named tiny UNet matching tiny_test_config().unet topology."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch = cfg.block_out_channels
+        tdim = ch[0] * 4
+        num_levels = len(ch)
+        self.conv_in = tnn.Conv2d(cfg.in_channels, ch[0], 3, padding=1)
+        self.time_embedding = _Holder()
+        self.time_embedding.linear_1 = tnn.Linear(ch[0], tdim)
+        self.time_embedding.linear_2 = tnn.Linear(tdim, tdim)
+
+        self.down_blocks = tnn.ModuleList()
+        in_ch = ch[0]
+        for level in range(num_levels):
+            block = _Holder()
+            block.resnets = tnn.ModuleList()
+            is_cross = cfg.down_block_types[level] == "CrossAttnDownBlock2D"
+            if is_cross:
+                block.attentions = tnn.ModuleList()
+            for _ in range(cfg.layers_per_block):
+                block.resnets.append(
+                    TorchResnetBlock2D(in_ch, ch[level], tdim, cfg.norm_num_groups)
+                )
+                in_ch = ch[level]
+                if is_cross:
+                    block.attentions.append(
+                        TorchTransformer2D(
+                            ch[level], cfg.attention_head_dim[level],
+                            cfg.cross_attention_dim, cfg.norm_num_groups,
+                            use_linear_projection=True,
+                        )
+                    )
+            if level != num_levels - 1:
+                ds = _Holder()
+                ds.conv = tnn.Conv2d(ch[level], ch[level], 3, stride=2, padding=1)
+                block.downsamplers = tnn.ModuleList([ds])
+            self.down_blocks.append(block)
+
+        self.mid_block = _Holder()
+        self.mid_block.resnets = tnn.ModuleList(
+            [
+                TorchResnetBlock2D(ch[-1], ch[-1], tdim, cfg.norm_num_groups),
+                TorchResnetBlock2D(ch[-1], ch[-1], tdim, cfg.norm_num_groups),
+            ]
+        )
+        self.mid_block.attentions = tnn.ModuleList(
+            [
+                TorchTransformer2D(
+                    ch[-1], cfg.attention_head_dim[-1], cfg.cross_attention_dim,
+                    cfg.norm_num_groups, use_linear_projection=True,
+                )
+            ]
+        )
+
+        self.up_blocks = tnn.ModuleList()
+        skip_chs = [ch[0]]
+        for level in range(num_levels):
+            for _ in range(cfg.layers_per_block):
+                skip_chs.append(ch[level])
+            if level != num_levels - 1:
+                skip_chs.append(ch[level])
+        h_ch = ch[-1]
+        for up_idx in range(num_levels):
+            level = num_levels - 1 - up_idx
+            block = _Holder()
+            block.resnets = tnn.ModuleList()
+            is_cross = cfg.up_block_types[up_idx] == "CrossAttnUpBlock2D"
+            if is_cross:
+                block.attentions = tnn.ModuleList()
+            for _ in range(cfg.layers_per_block + 1):
+                skip = skip_chs.pop()
+                block.resnets.append(
+                    TorchResnetBlock2D(
+                        h_ch + skip, ch[level], tdim, cfg.norm_num_groups
+                    )
+                )
+                h_ch = ch[level]
+                if is_cross:
+                    block.attentions.append(
+                        TorchTransformer2D(
+                            ch[level], cfg.attention_head_dim[level],
+                            cfg.cross_attention_dim, cfg.norm_num_groups,
+                            use_linear_projection=True,
+                        )
+                    )
+            if up_idx != num_levels - 1:
+                us = _Holder()
+                us.conv = tnn.Conv2d(ch[level], ch[level], 3, padding=1)
+                block.upsamplers = tnn.ModuleList([us])
+            self.up_blocks.append(block)
+
+        self.conv_norm_out = tnn.GroupNorm(cfg.norm_num_groups, ch[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(ch[0], cfg.out_channels, 3, padding=1)
+        self.cfg = cfg
+
+    def forward(self, sample, t, context):
+        cfg = self.cfg
+        ch0 = cfg.block_out_channels[0]
+        half = ch0 // 2
+        exponent = -math.log(10000.0) * torch.arange(
+            half, dtype=torch.float32
+        ) / half
+        emb = t[:, None].float() * exponent.exp()[None]
+        temb = torch.cat([emb.cos(), emb.sin()], dim=-1)  # flip_sin_to_cos
+        temb = self.time_embedding.linear_2(
+            TF.silu(self.time_embedding.linear_1(temb))
+        )
+
+        h = self.conv_in(sample)
+        skips = [h]
+        for block in self.down_blocks:
+            for j, resnet in enumerate(block.resnets):
+                h = resnet(h, temb)
+                if hasattr(block, "attentions"):
+                    h = block.attentions[j](h, context)
+                skips.append(h)
+            if hasattr(block, "downsamplers"):
+                h = block.downsamplers[0].conv(h)
+                skips.append(h)
+
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, context)
+        h = self.mid_block.resnets[1](h, temb)
+
+        for block in self.up_blocks:
+            for j, resnet in enumerate(block.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = resnet(h, temb)
+                if hasattr(block, "attentions"):
+                    h = block.attentions[j](h, context)
+            if hasattr(block, "upsamplers"):
+                h = TF.interpolate(h, scale_factor=2.0, mode="nearest")
+                h = block.upsamplers[0].conv(h)
+
+        return self.conv_out(TF.silu(self.conv_norm_out(h)))
+
+
+def test_full_tiny_unet_matches_torch():
+    """The complete tiny-config UNet forward (full topology: cross/plain down
+    blocks, mid, skip concats, up path, nearest upsample) vs the torch
+    composition on the SAME converted checkpoint."""
+    cfg = _tiny_cfg().unet
+    torch.manual_seed(5)
+    ref = TorchTinyUNet(cfg).eval()
+    rng = np.random.default_rng(5)
+    B, S = 2, cfg.sample_size
+    x = rng.standard_normal((B, S, S, cfg.in_channels)).astype(np.float32)
+    ctx = rng.standard_normal((B, 7, cfg.cross_attention_dim)).astype(np.float32)
+    t = np.asarray([137.0, 890.0], np.float32)
+
+    ours = UNet2DConditionModel(cfg)
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+    )["params"]
+    params = _convert_from_torch(params, ref, unet_name_fn)
+    y = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+    )
+    with torch.no_grad():
+        y_ref = _nhwc(
+            ref(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t), torch.tensor(ctx))
+        )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=ATOL)
+
+
+class TorchTinyVAEEncoder(tnn.Module):
+    """diffusers-named tiny VAE encoder + quant_conv (the SDS-critical half:
+    the encode path runs WITH gradients inside the SDS loss, sd.py:191-199)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch = cfg.block_out_channels
+        g = cfg.norm_num_groups
+        self.encoder = _Holder()
+        self.encoder.conv_in = tnn.Conv2d(cfg.in_channels, ch[0], 3, padding=1)
+        self.encoder.down_blocks = tnn.ModuleList()
+        in_ch = ch[0]
+        for level, out_ch in enumerate(ch):
+            block = _Holder()
+            block.resnets = tnn.ModuleList()
+            for _ in range(cfg.layers_per_block):
+                block.resnets.append(TorchVAEResnetBlock(in_ch, out_ch, g))
+                in_ch = out_ch
+            if level != len(ch) - 1:
+                ds = _Holder()
+                # diffusers VAE Downsample2D: asymmetric (0,1,0,1) pad + valid
+                ds.conv = tnn.Conv2d(out_ch, out_ch, 3, stride=2, padding=0)
+                block.downsamplers = tnn.ModuleList([ds])
+            self.encoder.down_blocks.append(block)
+        self.encoder.mid_block = _Holder()
+        self.encoder.mid_block.resnets = tnn.ModuleList(
+            [TorchVAEResnetBlock(ch[-1], ch[-1], g), TorchVAEResnetBlock(ch[-1], ch[-1], g)]
+        )
+        self.encoder.mid_block.attentions = tnn.ModuleList(
+            [TorchVAEAttnBlock(ch[-1], g)]
+        )
+        self.encoder.conv_norm_out = tnn.GroupNorm(g, ch[-1], eps=1e-6)
+        self.encoder.conv_out = tnn.Conv2d(
+            ch[-1], 2 * cfg.latent_channels, 3, padding=1
+        )
+        self.quant_conv = tnn.Conv2d(
+            2 * cfg.latent_channels, 2 * cfg.latent_channels, 1
+        )
+
+    def forward(self, x):
+        h = self.encoder.conv_in(x)
+        for block in self.encoder.down_blocks:
+            for resnet in block.resnets:
+                h = resnet(h)
+            if hasattr(block, "downsamplers"):
+                h = TF.pad(h, (0, 1, 0, 1))
+                h = block.downsamplers[0].conv(h)
+        h = self.encoder.mid_block.resnets[0](h)
+        h = self.encoder.mid_block.attentions[0](h)
+        h = self.encoder.mid_block.resnets[1](h)
+        h = self.encoder.conv_out(TF.silu(self.encoder.conv_norm_out(h)))
+        return self.quant_conv(h)
+
+
+def test_full_tiny_vae_encode_matches_torch():
+    cfg = _tiny_cfg().vae
+    torch.manual_seed(6)
+    ref = TorchTinyVAEEncoder(cfg).eval()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+
+    ours = AutoencoderKL(cfg)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    # fill encoder + quant_conv from torch; the decoder keeps random init
+    # (mask the decoder/post_quant paths out of the conversion walk)
+    tensors = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    def partial_convert(tree, path=""):
+        if isinstance(tree, dict):
+            return {
+                k: partial_convert(v, f"{path}/{k}" if path else k)
+                for k, v in tree.items()
+            }
+        top = path.split("/")[0]
+        if top in ("decoder", "post_quant_conv"):
+            return tree  # untouched random init
+        return convert_params({path.split("/")[-1]: tree}, tensors,
+                              lambda _p, _path=path: vae_name_fn(_path))[
+            path.split("/")[-1]
+        ]
+
+    params = partial_convert(params)
+    mean, logvar = ours.apply(
+        {"params": params}, jnp.asarray(x), method=AutoencoderKL.encode_moments
+    )
+    moments = np.concatenate([np.asarray(mean), np.asarray(logvar)], axis=-1)
+    with torch.no_grad():
+        ref_moments = _nhwc(ref(torch.tensor(x).permute(0, 3, 1, 2)))
+    # ours clips logvar to [-30, 20]; random-weight moments stay inside
+    np.testing.assert_allclose(moments, ref_moments, rtol=1e-4, atol=ATOL)

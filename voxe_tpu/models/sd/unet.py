@@ -174,7 +174,10 @@ class FeedForward(nn.Module):
         C = x.shape[-1]
         hidden = nn.Dense(C * 8, name="geglu_proj")(x)
         a, gate = jnp.split(hidden, 2, axis=-1)
-        return nn.Dense(C, name="out_proj")(a * nn.gelu(gate))
+        # diffusers GEGLU uses torch F.gelu = EXACT erf gelu; flax's nn.gelu
+        # defaults to the tanh approximation (~1e-3 relative deviation) —
+        # caught by the torch block-parity suite (test_sd_torch_blocks.py)
+        return nn.Dense(C, name="out_proj")(a * nn.gelu(gate, approximate=False))
 
 
 class BasicTransformerBlock(nn.Module):
