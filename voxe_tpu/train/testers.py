@@ -6,6 +6,8 @@ voxe_tpu.models.lpips when weights are available, SSIM otherwise.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from voxe_tpu.data.dataset import PosedImagesDataset
@@ -23,6 +25,12 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
 ) -> dict:
     intrinsics = test_dataset.camera_intrinsics
     lpips_fn = None
+    if lpips_weights_dir is None:
+        # deterministic local-weights recipe: staging vgg16.pth +
+        # lpips_vgg.pth under $VOXE_LPIPS_WEIGHTS_DIR switches every held-out
+        # eval (all trainers, the demo pipeline) to the reference's
+        # always-on LPIPS protocol (testers.py:17-71) without new flags
+        lpips_weights_dir = os.environ.get("VOXE_LPIPS_WEIGHTS_DIR") or None
     if lpips_weights_dir is not None:
         from voxe_tpu.models.lpips import try_load_lpips
 
