@@ -104,8 +104,10 @@ class LPIPS:
         torch = self.torch
 
         def prep(img):
-            # copy: jax/np views arriving here can be non-writable buffers
-            arr = np.ascontiguousarray(np.asarray(img, np.float32))
+            # real copy: jax/np views arriving here can be non-writable
+            # buffers (ascontiguousarray skips the copy when already
+            # contiguous, keeping the non-writable flag torch rejects)
+            arr = np.array(img, np.float32, copy=True)
             t = torch.from_numpy(arr).permute(2, 0, 1)[None]
             t = t * 2.0 - 1.0  # lpips input range
             shift = torch.from_numpy(_SHIFT).view(1, 3, 1, 1)
