@@ -79,6 +79,31 @@ def report(logdir: Path, top: int = 25) -> None:
         for name, dur in sorted(dur_by_src.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {dur / 1e3:9.2f} ms  {name}")
 
+    # top ops WITH their perfetto args (category/source/long_name) — names
+    # the shapes behind the anonymous fusion.NNNN entries above
+    detail = defaultdict(lambda: [0.0, 0, {}])
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        a = e.get("args") or {}
+        if not a.get("hlo_category") and not a.get("source"):
+            continue
+        d = detail[e.get("name", "?")]
+        d[0] += float(e.get("dur", 0.0))
+        d[1] += 1
+        if not d[2]:
+            d[2] = a
+    if detail:
+        print("\ntop ops (with args):")
+        for name, (dur, cnt, a) in sorted(detail.items(), key=lambda kv: -kv[1][0])[:top]:
+            print(f"  {dur / 1e3:9.2f} ms  x{cnt:<4d} {name}")
+            for k in ("hlo_category", "source", "long_name", "tf_op", "shape"):
+                if a.get(k):
+                    print(f"        {k}: {str(a[k])[:220]}")
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

@@ -25,25 +25,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from voxe_tpu.models.sd.config import UNetConfig
+from voxe_tpu.models.sd.norms import make_group_norm
+
+
+def _flash_block_sizes(q_len: int, k_len: int):
+    """Tuned Pallas flash BlockSizes for the UNet's long self-attentions.
+
+    The r3 negative result ("flash +13 ms/iter") was a DEFAULT-BLOCK-SIZE
+    artifact: at [2, 5, 4096, 64] the stock defaults measure 5.1 ms/layer
+    vs XLA's 2.65, but block_q=512 / block_k_major=2048 / block_k=1024
+    measures 1.43 ms/layer (tools/bench_attn.py sweep, v5e, 2026-08-19) —
+    the XLA lowering materializes an f32[2,5,4096,4096] score tensor
+    (~671 MB of HBM traffic per layer; the single largest SD-half cost in
+    the r4 trace), which flash never forms.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    def _largest_dividing(cands, n):
+        return next(c for c in cands if n % c == 0)
+
+    bq = _largest_dividing((512, 256), q_len)
+    bkm = _largest_dividing((2048, 1024, 512), k_len)
+    bk = min(_largest_dividing((1024, 512), k_len), bkm)
+    return BlockSizes(
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+    )
 
 
 def _flash_self_attention_enabled(q_len: int, head_dim: int) -> bool:
-    """Opt-in Pallas TPU flash-attention for LONG self-attention
-    (VOXE_FLASH_ATTN=1).
+    """Pallas TPU flash-attention for LONG self-attention — default ON
+    (VOXE_FLASH_ATTN=0 restores the XLA lowering).
 
-    Default OFF — measured negative result (r3, v5e): the stock Pallas flash
-    kernel is 13 ms/iter SLOWER than XLA's attention inside the SDS step
-    (56.6 vs 43.8 ms sd_half, interleaved A/B) at the UNet's 64^2 level
-    ([2, 5, 4096, 64]: batchxheads=10 underfills the kernel grid and XLA's
-    probs-materializing lowering overlaps well with the surrounding convs).
-    Kept as a switch for future shapes/toolchains; forward-only is all the
-    SDS path needs (the UNet runs under stop_gradient, sds.py:250).
+    Applies only to the no-capture fast path at q_len >= 2048 with
+    MXU-friendly head dims and block-divisible sequence lengths; the SDS
+    UNet runs under stop_gradient (sds.py:250) so only the forward kernel
+    is on the hot path (the kernel's custom VJP covers any gradient use).
     """
-    if os.environ.get("VOXE_FLASH_ATTN", "0") != "1":
+    if os.environ.get("VOXE_FLASH_ATTN", "1") == "0":
         return False
     if jax.default_backend() == "cpu":
         return False
-    return q_len >= 2048 and head_dim in (64, 128)
+    # self-attention: k_len == q_len, so the 512-divisibility check covers
+    # every _flash_block_sizes candidate
+    return q_len >= 2048 and head_dim in (64, 128) and q_len % 512 == 0
 
 
 def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0):
@@ -69,14 +95,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
+        h = make_group_norm(self.groups, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
 
         temb_out = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
         h = h + temb_out[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
+        h = make_group_norm(self.groups, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
 
@@ -131,6 +157,7 @@ class CrossAttention(nn.Module):
                     k.swapaxes(-3, -2).astype(dt),
                     v.swapaxes(-3, -2).astype(dt),
                     sm_scale=1.0 / float(np.sqrt(head_dim)),
+                    block_sizes=_flash_block_sizes(q.shape[-3], k.shape[-3]),
                 )  # [B, h, Q, D]
                 out = out.swapaxes(-3, -2).reshape(*hidden.shape[:-1], C)
                 return nn.Dense(C, name="to_out_0")(out)
@@ -210,7 +237,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context, capture_attn: bool = False, attn_edit_fn=None):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        h = make_group_norm(self.groups, epsilon=1e-6, name="norm")(x)
         h = nn.Conv(C, (1, 1), name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         h = BasicTransformerBlock(
@@ -306,6 +333,6 @@ class UNet2DConditionModel(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(C, (3, 3), padding=1, name=f"up_{up_idx}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h)
+        h = make_group_norm(cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from voxe_tpu.models.sd.config import VAEConfig
+from voxe_tpu.models.sd.norms import make_group_norm
 
 
 class ResnetBlock(nn.Module):
@@ -24,10 +25,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
+        h = make_group_norm(self.groups, epsilon=1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
+        h = make_group_norm(self.groups, epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -43,7 +44,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.groups, name="group_norm")(x)
+        h = make_group_norm(self.groups, epsilon=1e-6, name="group_norm")(x)
         flat = h.reshape(B, H * W, C)
         q = nn.Dense(C, name="to_q")(flat)
         k = nn.Dense(C, name="to_k")(flat)
@@ -84,7 +85,7 @@ class Encoder(nn.Module):
         h = AttnBlock(cfg.norm_num_groups, name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], cfg.norm_num_groups, name="mid_resnet_1")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = make_group_norm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out")(h)
         return h  # [B, H/8, W/8, 2*latent]: (mean, logvar)
@@ -113,7 +114,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(channels, (3, 3), padding=1, name=f"up_{level}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = make_group_norm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
         return h
