@@ -107,12 +107,21 @@ def main() -> None:
         )
         if done == 0:
             fetch(grid.densities)
-            print(f"  sds compile+first chunk: {time.perf_counter() - t_sds:.1f}s")
+            t_steady = time.perf_counter()
+            print(f"  sds compile+first chunk: {t_steady - t_sds:.1f}s")
         done += K
+        # periodic drain: unbounded dispatch queues trip the relay's
+        # session-bimodal enqueue pathology (BENCHMARKS.md "Relay anomaly");
+        # the loop tool drains every 1000 iters and measures stable
+        if done % 1000 < K:
+            fetch(grid.densities)
         if done % 2000 < K:
             print(f"  sds iter {done} ({time.perf_counter() - t_sds:.0f}s)")
     fetch(grid.densities)
     sds_s = time.perf_counter() - t_sds
+    sds_steady = time.perf_counter() - t_steady
+    print(f"  sds steady-state (excl. compile+first chunk): "
+          f"{sds_steady / max(args.sds_iters - K, 1) * 1e3:.1f} ms/iter")
     del sd, multi, opt_state, text_by_dir
     print(f"PHASE sds: {args.sds_iters} iters in {sds_s / 60:.2f} min "
           f"({sds_s / args.sds_iters * 1e3:.1f} ms/iter)")
@@ -157,14 +166,18 @@ def main() -> None:
         )
         if done == 0:
             fetch(edit_attn)
+            t_rsteady = time.perf_counter()
             print(f"  refine compile+first chunk: {time.perf_counter() - t_ref:.1f}s")
         done += RK
         if done % 500 < RK:
+            fetch(edit_attn)
             print(f"  refine iter {done} ({time.perf_counter() - t_ref:.0f}s)")
     fetch(edit_attn)
     refine_s = time.perf_counter() - t_ref
+    refine_steady = time.perf_counter() - t_rsteady
     print(f"PHASE refine: {args.refine_iters} iters in {refine_s / 60:.2f} min "
-          f"({refine_s / args.refine_iters * 1e3:.1f} ms/iter)")
+          f"({refine_s / args.refine_iters * 1e3:.1f} ms/iter; steady "
+          f"{refine_steady / max(args.refine_iters - RK, 1) * 1e3:.1f} ms/iter)")
 
     # ---------------- phase C: one-off native graph cut -------------------
     import voxe_tpu.seg.graphcut as gc
