@@ -431,7 +431,18 @@ def main() -> None:
     mode = os.environ.get("VOXE_BENCH_MODE", "edit")
     use_shearwarp = os.environ.get("VOXE_SHEARWARP", "1") == "1"
     iters = int(os.environ.get("VOXE_BENCH_ITERS", "20"))
-    frame = int(os.environ.get("VOXE_BENCH_BASE", "400"))
+    frame_env = os.environ.get("VOXE_BENCH_BASE")
+    if frame_env:
+        frame = int(frame_env)  # explicit override: exact, like the trainers
+    elif use_shearwarp:
+        # mirror the trainers' default: the dog2 scene is 400^2, and the
+        # shear-warp trainers round the internal base lattice to the nearest
+        # lane-aligned multiple of 128 (400 -> 384; lane_aligned_res docstring)
+        from voxe_tpu.render.shearwarp import lane_aligned_res
+
+        frame = lane_aligned_res(400)
+    else:
+        frame = 400
 
     if mode == "recon":
         result = bench_recon(use_shearwarp, iters, frame if use_shearwarp else 400)

@@ -74,6 +74,25 @@ class BaseImageGeometry(NamedTuple):
     perm_index: jnp.ndarray  # [] int32: which of the 6 marching branches ran
 
 
+def lane_aligned_res(n: int, tol: float = 0.10) -> int:
+    """Round a base-lattice side to the nearest multiple of 128 when that
+    changes it by <= `tol` (else return it unchanged).
+
+    TPU tiled layouts pack the minormost dimension in lanes of 128; with a
+    base width V that is not a multiple of 128 every [S, U, V] -> [S, U*V]
+    flatten in the streamed compositing path is a physical retile (the
+    reshape discards the per-row lane padding), measured at ~5.7 ms/iter of
+    "data formatting" in the dog2 render backward. At V % 128 == 0 the
+    flatten is a free bitcast: the SDS edit step measured 56.5 -> 52.8
+    ms/iter moving the default base 400 -> 384 (BENCHMARKS.md r4). The base
+    lattice is this framework's internal quadrature (the reference has no
+    such concept); callers that pass an explicit --shear_warp_base_res keep
+    it exactly.
+    """
+    m = max(128, int(round(n / 128.0)) * 128)
+    return m if abs(m - n) <= tol * n else n
+
+
 def _principal_branch(view_dir: jnp.ndarray) -> jnp.ndarray:
     """view_dir [3] (world) -> branch index in [0, 6): axis * 2 + (dir > 0)."""
     axis = jnp.argmax(jnp.abs(view_dir))

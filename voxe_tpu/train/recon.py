@@ -613,10 +613,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 # sampling density is lower than in a screen frame; 2x
                 # restores it (measured +6.1 dB held-out at 160^3, matching
                 # the exact renderer to 0.3 dB — BENCHMARKS.md "Quality")
-                base_res = shear_warp_base_res or 2 * max(
-                    stage_dataset.camera_intrinsics.height,
-                    stage_dataset.camera_intrinsics.width,
-                )
+                if shear_warp_base_res:
+                    base_res = shear_warp_base_res  # explicit override: exact
+                else:
+                    from voxe_tpu.render.shearwarp import lane_aligned_res
+
+                    base_res = lane_aligned_res(2 * max(
+                        stage_dataset.camera_intrinsics.height,
+                        stage_dataset.camera_intrinsics.width,
+                    ))
                 base_hw = (base_res, base_res)
                 log.info(f"shear-warp fast path: base lattice {base_hw}")
                 sw_targets, sw_masks = warp_dataset_to_base(

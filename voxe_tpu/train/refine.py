@@ -392,7 +392,12 @@ def refine_edited_relu_field(
     # exact for square frames (the non-square 90-degree residual hole,
     # VERDICT r2 weak-6); SD maps come back in the same frame so render
     # and targets stay aligned at any aspect ratio
-    sw_res = shear_warp_base_res or max(im_h, im_w)
+    if shear_warp_base_res:
+        sw_res = shear_warp_base_res  # explicit override: exact
+    else:
+        from voxe_tpu.render.shearwarp import lane_aligned_res
+
+        sw_res = lane_aligned_res(max(im_h, im_w))
     sw_hw = (sw_res, sw_res)
     if isinstance(edit_idx, int):
         edit_idx = [edit_idx]

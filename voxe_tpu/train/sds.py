@@ -800,7 +800,12 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
 
     sw_active = use_shear_warp
     sw_data_mode = sw_active and (uncoupled_mode or data_pose_mode)
-    base_res = shear_warp_base_res or max(im_h, im_w)
+    if shear_warp_base_res:
+        base_res = shear_warp_base_res  # explicit override: exact
+    else:
+        from voxe_tpu.render.shearwarp import lane_aligned_res
+
+        base_res = lane_aligned_res(max(im_h, im_w))
     sw_base_hw = (base_res, base_res)
     if sw_active:
         log.info(f"shear-warp fast path: base lattice {sw_base_hw}")
