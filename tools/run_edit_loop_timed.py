@@ -27,6 +27,8 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=8000)
     p.add_argument("--steps_per_call", type=int, default=25)
     p.add_argument("--frame", type=int, default=400)
+    p.add_argument("--base", type=int, default=0,
+                   help="explicit base lattice side (default: lane-aligned frame)")
     p.add_argument("--grid", type=int, default=160)
     args = p.parse_args()
 
@@ -51,6 +53,11 @@ def main() -> None:
 
     print(f"devices: {jax.devices()}")
     res, frame = args.grid, args.frame
+    # the trainers' default base-lattice policy (sds.py): lane-aligned
+    from voxe_tpu.render.shearwarp import lane_aligned_res
+
+    base = args.base or lane_aligned_res(frame)
+    print(f"base lattice: {base} (frame {frame})")
     from bench import make_dog2_grid
 
     grid = make_dog2_grid(res)
@@ -85,6 +92,7 @@ def main() -> None:
         multi = make_sds_train_multi_step(
             sd, render_config, optimizer, intrinsics, K,
             density_correlation_weight=200.0, use_shear_warp=True,
+            sw_base_hw=(base, base),
         )
         t0 = time.perf_counter()
         done = 0
@@ -113,7 +121,7 @@ def main() -> None:
                       f"({time.perf_counter() - t_wall:.0f}s steady)")
     else:
         step = make_sds_train_step_shearwarp(
-            sd, render_config, optimizer, (frame, frame),
+            sd, render_config, optimizer, (base, base),
             density_correlation_weight=200.0,
         )
         rng = np.random.default_rng(0)
