@@ -62,6 +62,14 @@ def _flash_self_attention_enabled(q_len: int, head_dim: int) -> bool:
     MXU-friendly head dims and block-divisible sequence lengths; the SDS
     UNet runs under stop_gradient (sds.py:250) so only the forward kernel
     is on the hot path (the kernel's custom VJP covers any gradient use).
+
+    The >= 2048 threshold is measured, not guessed: at the 32^2 level
+    ([2, 10, 1024, 64], tools/bench_attn.py --heads 10 --seq 1024, v5e,
+    2026-08-19) XLA's fused SDPA wins — 0.877 ms/layer vs 0.925 for the
+    best tuned flash configuration (block_q=256) — because at k_len=1024
+    the score tensor is small enough that XLA's epilogue-fused softmax
+    beats the Pallas kernel's grid overhead. Only the 64^2 level
+    (q_len=4096) clears the crossover.
     """
     if os.environ.get("VOXE_FLASH_ATTN", "1") == "0":
         return False
