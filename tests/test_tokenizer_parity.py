@@ -1,0 +1,152 @@
+"""Cross-validate the in-tree CLIP BPE tokenizer against transformers'.
+
+The reference drives transformers' CLIPTokenizer (reference
+thre3d_atom/thre3d_reprs/sd.py:79-80,104-114); the rebuild implements the
+same byte-level BPE in-tree (voxe_tpu/models/sd/tokenizer.py) so prompts
+tokenize without network access. These tests load BOTH tokenizers from the
+SAME synthesized local vocab.json/merges.txt and require identical output —
+the last SD front-end component without a torch/transformers cross-check
+(the CLIP tower, UNet and VAE already have numeric parity tests in
+test_sd_weights_numeric.py).
+
+Environment caveat: this image has no `ftfy`, so transformers'
+full-pipeline path falls back to a BERT BasicTokenizer pre-clean
+(tokenization_clip.py `_tokenize`), which differs from the ftfy path the
+reference actually runs for contractions ("dog's" -> "dog ' s") and CJK
+(per-char spacing). The full-pipeline equality battery therefore sticks to
+prompts where both pre-cleans agree, and the BPE merge loop itself — where
+the subtle bugs live — is fuzzed DIRECTLY against transformers' `bpe()`
+with the pre-tokenization bypassed, covering contractions and multi-byte
+unicode too.
+"""
+from __future__ import annotations
+
+import json
+import random
+import string
+
+import numpy as np
+import pytest
+
+from voxe_tpu.models.sd.tokenizer import CLIPTokenizer, _bytes_to_unicode
+
+
+def _build_vocab(tmp_path):
+    """A realistic reduced CLIP vocab: every byte-unicode char (plain and
+    word-final), a chain of common-English merges, and the special tokens —
+    written in HF layout (vocab.json + merges.txt with a version header)."""
+    base = list(_bytes_to_unicode().values())
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("a", "n"), ("an", "d</w>"),
+        ("i", "n"), ("in", "g</w>"), ("e", "r</w>"), ("o", "n</w>"),
+        ("r", "e"), ("a", "t</w>"), ("e", "n"), ("o", "u"),
+        ("s", "t"), ("a", "r"), ("ar", "t</w>"), ("d", "o"),
+        ("do", "g</w>"), ("c", "a"), ("ca", "t</w>"), ("h", "at</w>"),
+        ("p", "ar"), ("par", "t"), ("'", "s</w>"), ("1", "2"),
+        ("en", "t</w>"), ("re", "d</w>"), ("ou", "t</w>"), ("st", "ar"),
+    ]
+    vocab = {}
+    for tok in base + [b + "</w>" for b in base]:
+        vocab[tok] = len(vocab)
+    for a, b in merges:
+        merged = a + b
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+
+    d = tmp_path / "tok"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def tokenizers(tmp_path_factory):
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    d = _build_vocab(tmp_path_factory.mktemp("clip_tok"))
+    ours = CLIPTokenizer(d)
+    hf = HFCLIPTokenizer(str(d / "vocab.json"), str(d / "merges.txt"))
+    return ours, hf
+
+
+# prompts on which the no-ftfy BasicTokenizer pre-clean agrees with the
+# reference's ftfy pre-clean (no apostrophes / CJK / HTML entities)
+SAFE_PROMPTS = [
+    "a dog in a party hat",
+    "the cat sat on the red mat",
+    "A YARN DOLL",  # lowercasing
+    "  leading   and\ttrailing\nwhitespace  ",
+    "starting, with. punctuation! and? hyphen-ated",
+    "digits 123 and 9 mixed in2words",
+    "out standing art on the part",
+    "(parenthetical) [brackets] {braces} <angle>",
+    "",
+    "cafe au lait",  # ascii-only control for the unicode fuzz below
+]
+
+
+def test_full_pipeline_matches_transformers(tokenizers):
+    ours, hf = tokenizers
+    for prompt in SAFE_PROMPTS:
+        got = ours(prompt)[0]
+        want = hf(
+            prompt, padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        ).input_ids[0]
+        np.testing.assert_array_equal(got, want, err_msg=f"prompt={prompt!r}")
+
+
+def test_truncation_matches_transformers(tokenizers):
+    ours, hf = tokenizers
+    prompt = " ".join(["the dog and the cat"] * 40)  # >> 77 tokens
+    got = ours(prompt)[0]
+    want = hf(
+        prompt, padding="max_length", max_length=77, truncation=True,
+        return_tensors="np",
+    ).input_ids[0]
+    assert got.shape == (77,)
+    assert got[-1] == ours.eos_token_id  # reference truncates then appends EOS
+    np.testing.assert_array_equal(got, want)
+
+
+def test_special_token_ids_match(tokenizers):
+    ours, hf = tokenizers
+    assert ours.bos_token_id == hf.bos_token_id
+    assert ours.eos_token_id == hf.eos_token_id
+    # no special_tokens_map.json in the dir -> EOS padding (SD 1.x behavior)
+    assert ours.pad_token_id == hf.convert_tokens_to_ids("<|endoftext|>")
+
+
+def test_bpe_merge_loop_fuzz_matches_transformers(tokenizers):
+    """Drive both BPE merge loops on the same raw pre-tokens, bypassing the
+    divergent no-ftfy pre-clean: random words (adversarial repeats of merge
+    characters), contractions, and multi-byte unicode."""
+    ours, hf = tokenizers
+    rng = random.Random(0)
+    byte_enc = _bytes_to_unicode()
+
+    words = [
+        "'s", "'t", "'re", "'ll", "thethethe", "inginging", "tht", "ththth",
+        "dogdog", "startstart", "café", "naïve", "東京",
+        "ééé", "a", "zz", "'",
+    ]
+    alphabet = "theandogcarts'"
+    words += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+              for _ in range(200)]
+    words += ["".join(rng.choice(string.printable[:94]).strip() or "x"
+                      for _ in range(rng.randint(1, 8)))
+              for _ in range(100)]
+
+    for w in words:
+        pre = "".join(byte_enc[b] for b in w.encode("utf-8"))
+        got = ours._bpe(pre)
+        want = hf.bpe(pre).split(" ")
+        assert got == want, f"word={w!r}: {got} != {want}"
+        # and every produced token must resolve in the shared vocab
+        ids = [ours.encoder[t] for t in got]
+        assert ids == hf.convert_tokens_to_ids(want)
