@@ -33,6 +33,7 @@ from voxe_tpu.render.interface import (
 )
 from voxe_tpu.render.rays import Rays, cast_rays, flatten_rays
 from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, CameraPose
+from voxe_tpu.utils.logging import log
 
 # checkpoint keys (layout parity with reference thre3d_reprs/constants.py)
 THRE3D_REPR = "thre3d_repr"
@@ -111,6 +112,20 @@ class VolumetricModel:
         use_shear_warp = config_overrides.pop("use_shear_warp", False)
         shear_warp_base_res = config_overrides.pop("shear_warp_base_res", None)
         if use_shear_warp:
+            from voxe_tpu.render.shearwarp import shear_warp_supports_pose
+
+            if not shear_warp_supports_pose(self.grid, pose):
+                # eye inside (or grazing) the grid AABB along the marching
+                # axis: the factorization's e_k clamp would render wrong
+                # geometry — route this pose to the exact per-sample
+                # renderer (reference-parity slab sampling handles any eye)
+                log.warning(
+                    "shear-warp render: camera is inside the grid AABB along "
+                    "its marching axis — falling back to the exact renderer "
+                    "for this pose"
+                )
+                use_shear_warp = False
+        if use_shear_warp:
             base_hw = (
                 (int(shear_warp_base_res),) * 2 if shear_warp_base_res else None
             )
@@ -166,6 +181,26 @@ class VolumetricModel:
     def _fast_path_args(self, poses, shear_warp_base_res: Optional[int]):
         """Shared plumbing for the fast camera-path renders: stacked pose
         tensors, base lattice override, and the deterministic preview config."""
+        from voxe_tpu.render.shearwarp import check_shear_warp_poses
+
+        # the whole path renders in ONE fused dispatch — a per-frame exact
+        # fallback can't compose, so an inside-volume camera fails loudly
+        check_shear_warp_poses(
+            self.grid,
+            np.stack(
+                [
+                    np.concatenate(
+                        [
+                            np.asarray(p.rotation),
+                            np.asarray(p.translation).reshape(3, 1),
+                        ],
+                        axis=1,
+                    )
+                    for p in poses
+                ]
+            ),
+            "fast camera-path render",
+        )
         rotations = jnp.stack([jnp.asarray(p.rotation) for p in poses])
         translations = jnp.stack(
             [jnp.asarray(p.translation).reshape(3, 1) for p in poses]

