@@ -513,3 +513,54 @@ def test_density_noise_streamed_matches_monolithic(grid, rcfg):
     np.testing.assert_array_equal(
         np.asarray(out_0.colour), np.asarray(out_0b.colour)
     )
+
+
+def test_unibranch_matches_static_six_way(grid, rcfg, monkeypatch):
+    """The cubic-grid single-trace path (traced axis permutation + traced
+    flip_k; VERDICT r4 next-3) must reproduce the 6-way static-branch path
+    — every flip/permutation fold is value-preserving arithmetic (0/1
+    permutation matmuls, float negation, tril/triu select), so the tolerance
+    is tight (f32 reassociation ulps only), across all six orientations."""
+    base_hw = (48, 48)
+    for yaw, pitch in [
+        (0.0, 0.0), (90.0, 0.0), (180.0, 0.0), (270.0, 0.0),
+        (0.0, 89.0), (0.0, -89.0), (40.0, 30.0), (220.0, 45.0),
+    ]:
+        pose = pose_spherical(yaw, pitch, 4.0)
+        monkeypatch.setenv("VOXE_SW_UNIBRANCH", "1")
+        out_u, geom_u = render_shear_warp(grid, pose, rcfg, base_hw=base_hw)
+        monkeypatch.setenv("VOXE_SW_UNIBRANCH", "0")
+        out_s, geom_s = render_shear_warp(grid, pose, rcfg, base_hw=base_hw)
+        assert int(geom_u.perm_index) == int(geom_s.perm_index)
+        np.testing.assert_allclose(
+            np.asarray(out_u.colour), np.asarray(out_s.colour),
+            atol=1e-4, err_msg=f"pose ({yaw}, {pitch})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_u.depth), np.asarray(out_s.depth), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(geom_u.lo), np.asarray(geom_s.lo), atol=1e-5
+        )
+
+
+def test_unibranch_gradients_match_static(grid, rcfg, monkeypatch):
+    """Gradients through the single-trace path == the static path's (the
+    training consumers differentiate through the render)."""
+    pose = pose_spherical(220.0, 45.0, 4.0)  # a negative-direction branch
+
+    def loss(densities, features):
+        g = grid.replace(densities=densities, features=features)
+        out, _ = render_shear_warp(g, pose, rcfg, base_hw=(32, 32))
+        return jnp.sum(out.colour ** 2)
+
+    grads = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("VOXE_SW_UNIBRANCH", flag)
+        grads[flag] = jax.grad(loss, argnums=(0, 1))(
+            grid.densities, grid.features
+        )
+    for gu, gs in zip(grads["1"], grads["0"]):
+        np.testing.assert_allclose(
+            np.asarray(gu), np.asarray(gs), atol=1e-5, rtol=1e-4
+        )
