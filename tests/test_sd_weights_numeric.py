@@ -874,3 +874,181 @@ def test_full_tiny_vae_encode_matches_torch():
         ref_moments = _nhwc(ref(torch.tensor(x).permute(0, 3, 1, 2)))
     # ours clips logvar to [-30, 20]; random-weight moments stay inside
     np.testing.assert_allclose(moments, ref_moments, rtol=1e-4, atol=ATOL)
+
+
+class TorchTinyVAEDecoder(tnn.Module):
+    """diffusers-named tiny VAE decoder + post_quant_conv (the prompt_to_img
+    decode path: reference sd.py:282-289 decode_latents)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch_rev = tuple(reversed(cfg.block_out_channels))
+        g = cfg.norm_num_groups
+        self.post_quant_conv = tnn.Conv2d(
+            cfg.latent_channels, cfg.latent_channels, 1
+        )
+        self.decoder = _Holder()
+        self.decoder.conv_in = tnn.Conv2d(
+            cfg.latent_channels, ch_rev[0], 3, padding=1
+        )
+        self.decoder.mid_block = _Holder()
+        self.decoder.mid_block.resnets = tnn.ModuleList(
+            [
+                TorchVAEResnetBlock(ch_rev[0], ch_rev[0], g),
+                TorchVAEResnetBlock(ch_rev[0], ch_rev[0], g),
+            ]
+        )
+        self.decoder.mid_block.attentions = tnn.ModuleList(
+            [TorchVAEAttnBlock(ch_rev[0], g)]
+        )
+        self.decoder.up_blocks = tnn.ModuleList()
+        in_ch = ch_rev[0]
+        for level, out_ch in enumerate(ch_rev):
+            block = _Holder()
+            block.resnets = tnn.ModuleList()
+            for _ in range(cfg.layers_per_block + 1):
+                block.resnets.append(TorchVAEResnetBlock(in_ch, out_ch, g))
+                in_ch = out_ch
+            if level != len(ch_rev) - 1:
+                up = _Holder()
+                up.conv = tnn.Conv2d(out_ch, out_ch, 3, padding=1)
+                block.upsamplers = tnn.ModuleList([up])
+            self.decoder.up_blocks.append(block)
+        self.decoder.conv_norm_out = tnn.GroupNorm(g, ch_rev[-1], eps=1e-6)
+        self.decoder.conv_out = tnn.Conv2d(ch_rev[-1], cfg.out_channels, 3, padding=1)
+
+    def forward(self, latents_scaled, scaling_factor):
+        h = self.decoder.conv_in(self.post_quant_conv(latents_scaled / scaling_factor))
+        h = self.decoder.mid_block.resnets[0](h)
+        h = self.decoder.mid_block.attentions[0](h)
+        h = self.decoder.mid_block.resnets[1](h)
+        for block in self.decoder.up_blocks:
+            for resnet in block.resnets:
+                h = resnet(h)
+            if hasattr(block, "upsamplers"):
+                h = TF.interpolate(h, scale_factor=2.0, mode="nearest")
+                h = block.upsamplers[0].conv(h)
+        return self.decoder.conv_out(TF.silu(self.decoder.conv_norm_out(h)))
+
+
+def _convert_vae_subtree(ours, params, torch_module, keep_random):
+    """Convert a torch VAE sub-module into the flax tree, leaving the
+    `keep_random` top-level branches at their random init."""
+    tensors = {k: v.numpy() for k, v in torch_module.state_dict().items()}
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, f"{path}/{k}" if path else k) for k, v in tree.items()
+            }
+        if path.split("/")[0] in keep_random:
+            return tree
+        leaf = path.split("/")[-1]
+        return convert_params(
+            {leaf: tree}, tensors, lambda _p, _path=path: vae_name_fn(_path)
+        )[leaf]
+
+    return walk(params)
+
+
+def test_decode_latents_matches_torch():
+    """`decode_latents` (post_quant_conv + decoder + [0,1] remap) vs the torch
+    composition on the same converted weights — the other half of the
+    prompt_to_img surface (reference sd.py:282-289)."""
+    from voxe_tpu.models.sd.sds import StableDiffusion
+
+    cfg = _tiny_cfg(image_size=16)
+    torch.manual_seed(8)
+    ref = TorchTinyVAEDecoder(cfg.vae).eval()
+    sd = StableDiffusion(config=cfg, unet_dtype=jnp.float32)
+    sd.params["vae"] = _convert_vae_subtree(
+        sd.vae, sd.params["vae"], ref, keep_random=("encoder", "quant_conv")
+    )
+
+    rng = np.random.default_rng(8)
+    latents = rng.standard_normal((2, 8, 8, cfg.vae.latent_channels)).astype(
+        np.float32
+    )
+    imgs = np.asarray(sd.decode_latents(sd.params["vae"], jnp.asarray(latents)))
+    with torch.no_grad():
+        raw = _nhwc(
+            ref(
+                torch.tensor(latents).permute(0, 3, 1, 2),
+                float(cfg.vae.scaling_factor),
+            )
+        )
+    ref_imgs = np.clip(raw / 2.0 + 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(imgs, ref_imgs, rtol=1e-4, atol=ATOL)
+
+
+def test_ddim_sampling_loop_matches_torch():
+    """The FULL text-to-image sampling loop (`produce_latents`: timestep
+    schedule, CFG combine, DDIM eta=0 update, loop composition) vs a
+    step-by-step torch DDIM driving the torch tiny UNet on the same converted
+    weights (reference sd.py:236-271). The scheduler is unit-tested on its
+    own (test_sd.py); this pins the COMPOSITION — timestep order, a_prev
+    indexing at the final step, CFG sign, latent threading."""
+    from voxe_tpu.models.sd.sds import StableDiffusion
+
+    cfg = _tiny_cfg(image_size=16)
+    torch.manual_seed(7)
+    ref_unet = TorchTinyUNet(cfg.unet).eval()
+    sd = StableDiffusion(config=cfg, unet_dtype=jnp.float32)
+    sd.params["unet"] = _convert_from_torch(
+        sd.params["unet"], ref_unet, unet_name_fn
+    )
+
+    rng = np.random.default_rng(7)
+    D = cfg.unet.cross_attention_dim
+    text_embeddings = rng.standard_normal((2, 7, D)).astype(np.float32)
+    latents0 = rng.standard_normal((1, 8, 8, cfg.unet.in_channels)).astype(
+        np.float32
+    )
+    gs = 7.5
+    n_steps = 5
+
+    ours = np.asarray(
+        sd.produce_latents(
+            jnp.asarray(text_embeddings),
+            jax.random.PRNGKey(0),  # unused: explicit initial latents
+            height=16,
+            width=16,
+            num_inference_steps=n_steps,
+            guidance_scale=gs,
+            latents=jnp.asarray(latents0),
+        )
+    )
+
+    ts = np.asarray(sd.scheduler.timesteps(n_steps))
+    ac = np.asarray(sd.scheduler.alphas_cumprod, np.float64)
+    lat = torch.tensor(latents0).permute(0, 3, 1, 2)
+    ctx = torch.tensor(text_embeddings)
+    with torch.no_grad():
+        for i, t in enumerate(ts):
+            inp = torch.cat([lat] * 2, dim=0)
+            eps = ref_unet(inp, torch.full((2,), float(t)), ctx)
+            uncond, text = eps.chunk(2, dim=0)
+            eps = text + gs * (text - uncond)
+            a_t = ac[t]
+            a_prev = ac[ts[i + 1]] if i + 1 < len(ts) else 1.0
+            x0 = (lat - math.sqrt(1.0 - a_t) * eps) / math.sqrt(a_t)
+            lat = math.sqrt(a_prev) * x0 + math.sqrt(1.0 - a_prev) * eps
+    ref_lat = _nhwc(lat)
+
+    np.testing.assert_allclose(ours, ref_lat, rtol=1e-3, atol=1e-4)
+
+
+def test_prompt_to_img_smoke():
+    """`prompt_to_img` end-to-end (tokenize -> CLIP -> sampling loop ->
+    decode -> uint8) at tiny config: the first thing a user runs to
+    sanity-check staged real weights must execute and produce a well-formed
+    image (reference sd.py:291-303)."""
+    from voxe_tpu.models.sd.sds import StableDiffusion
+
+    cfg = _tiny_cfg(image_size=16)
+    sd = StableDiffusion(config=cfg, unet_dtype=jnp.float32)
+    img = sd.prompt_to_img(
+        "a photo of a dog", key=jax.random.PRNGKey(3), num_inference_steps=2
+    )
+    assert img.shape == (1, 16, 16, 3)
+    assert img.dtype == np.uint8
