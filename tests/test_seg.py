@@ -186,3 +186,56 @@ def test_unreached_nodes_default_to_source_side():
         assert labels[1] == 1, algo   # sink-seeded
         assert labels[2] == 0, algo   # free -> SOURCE default
         assert flow == 0.0, algo
+
+
+def test_graphcut_downsampled_real_scene_shape():
+    """--downsample_refine_grid, the real-scene recipe flag (reference
+    edit_demo_real.sh:36, refinement_functions.py:362-405): the x4-pooled cut
+    on a NON-CUBIC grid must write a FULL-resolution keep grid with the blobs
+    still segmented (edit block -> 0, object block -> -5, empty -> -10)."""
+    import jax.numpy as jnp
+
+    from voxe_tpu.grid.voxels import VoxelGrid, VoxelGridConfig
+    from voxe_tpu.models.volumetric import VolumetricModel
+    from voxe_tpu.render.interface import SHVoxGridRenderConfig
+    from voxe_tpu.seg.graphcut import get_edit_region
+    from voxe_tpu.utils.camera import CameraBounds
+
+    dims = (16, 12, 20)  # non-cubic, divisible by the x4 pooling
+    densities = np.full((*dims, 1), -1.0, dtype=np.float32)
+    densities[0:8, 0:8, 0:8] = 5.0  # blob A (edit)
+    densities[8:16, 4:12, 12:20] = 5.0  # blob B (object)
+    features = np.zeros((*dims, 3), dtype=np.float32)
+    features[8:16, 4:12, 12:20] = 3.0
+    edit_attn = np.full((*dims, 1), -20.0, dtype=np.float32)
+    obj_attn = np.full((*dims, 1), -20.0, dtype=np.float32)
+    edit_attn[0:8, 0:8, 0:8] = 2.0
+    obj_attn[8:16, 4:12, 12:20] = 2.0
+
+    def mk(attn):
+        grid = VoxelGrid(
+            jnp.asarray(densities), jnp.asarray(features), VoxelGridConfig(),
+            attn=jnp.asarray(attn),
+        )
+        return VolumetricModel(
+            grid,
+            SHVoxGridRenderConfig(
+                num_samples_per_ray=8, camera_bounds=CameraBounds(2.0, 6.0)
+            ),
+        )
+
+    vm_edit, vm_obj, vm_out = mk(edit_attn), mk(obj_attn), mk(edit_attn)
+    segments, idxs = get_edit_region(
+        vm_edit, vm_obj, vm_out,
+        downsample_grid=True, downsample_factor=4,
+        num_obj_voxels_thresh=50, min_num_edit_voxels=2,
+        top_k_edit_thresh=2, top_k_obj_thresh=2,
+    )
+
+    keep = np.asarray(vm_out.grid.attn)
+    assert keep.shape == (*dims, 1)  # FULL resolution, not the pooled one
+    assert (keep[2, 2, 2] == 0.0).all()  # edit blob interior
+    assert (keep[12, 8, 16] == -5.0).all()  # object blob interior
+    assert (keep[0, 0, 19] == -10.0).all()  # empty corner
+    # the pooled cut ran at 4x4x5 nodes, not the full 16x12x20
+    assert idxs.max() < max(dims) // 4 + 1

@@ -43,9 +43,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from voxe_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     B, h, T, d = args.batch, args.heads, args.seq, args.dim
     key = jax.random.PRNGKey(0)

@@ -68,9 +68,9 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from voxe_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
     import optax

@@ -31,9 +31,12 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Persistent cache only off-CPU (ADVICE r4): a VOXE_PLATFORM=cpu run must
+    # not write CPU executables into the shared TPU cache — see
+    # voxe_tpu/utils/compile_cache.py for the full rationale.
+    from voxe_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import numpy as np
 
