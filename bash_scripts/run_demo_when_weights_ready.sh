@@ -43,22 +43,31 @@ LOCAL_LOG_NAME=party_hat
 if [ "${TINY:-0}" = "1" ]; then
     SD_VERSION=tiny
     SD_WEIGHTS_ARGS=()
+    # fast_debug_mode stays OFF so the held-out eval runs each stage — with
+    # $VOXE_LPIPS_WEIGHTS_DIR staged it computes perceptual LPIPS exactly as
+    # the unattended run would (reference testers.py:17-71)
     RECON_ARGS=(--grid_dims 16 16 16 --num_stages 2 --num_iterations_per_stage 30
                 --train_num_samples_per_ray 24 --render_num_samples_per_ray 24
                 --parallel_rays_chunk_size 2048 --ray_batch_size 1024
-                --fast_debug_mode True --separate_train_test_folders False)
+                --feedback_frequency 30 --test_frequency 30
+                --fast_debug_mode False --separate_train_test_folders False)
     EDIT_ARGS=(--num_iterations_edit 4 --render_num_samples_per_ray 24
                --parallel_rays_chunk_size 2048 --feedback_frequency 4
                --save_frequency 4 --separate_train_test_folders False)
     LOCAL_ARGS=(--num_iterations_refine 2 --timestamp 2)
     RENDER_ARGS=(--num_frames 4 --render_scale_factor 1.0 --overridden_num_samples_per_ray 24)
+    echo "== stage 0: SD sanity image (tiny random weights, glue check) =="
+    python tools/validate_sd_weights.py --sd_version tiny --run_smoke False \
+        --sanity_image "$OUT_ROOT/sd_sanity_image.png" --sanity_steps 2
 else
     SD_VERSION=2.0
     if [ -z "${SD_WEIGHTS_DIR:-}" ] || [ ! -d "$SD_WEIGHTS_DIR/unet" ]; then
         echo "SD_WEIGHTS_DIR not staged (need unet/vae/text_encoder/tokenizer subdirs)" >&2
         exit 2
     fi
-    python tools/validate_sd_weights.py -d "$SD_WEIGHTS_DIR" --sd_version 2.0
+    echo "== stage 0: validate weights + SD sanity image =="
+    python tools/validate_sd_weights.py -d "$SD_WEIGHTS_DIR" --sd_version 2.0 \
+        --sanity_image "$OUT_ROOT/sd_sanity_image.png"
     SD_WEIGHTS_ARGS=(--sd_weights_dir "$SD_WEIGHTS_DIR")
     RECON_ARGS=()
     EDIT_ARGS=()

@@ -1,12 +1,13 @@
 """CI dry-run of the unattended weights-ready demo pipeline (VERDICT r2 #8).
 
 Runs bash_scripts/run_demo_when_weights_ready.sh with TINY=1 — the IDENTICAL
-script path the real unattended run takes (recon -> global edit -> local edit
-+ refinement -> turntable renders -> quality-metrics CSV), at plumbing scale
-with the hash tokenizer, random tiny-SD weights, and synthesized tiny
-CLIP/Inception metric embedders (VERDICT r3 missing-2: the evaluation suite
-executes in CI, all five reference CSV columns filled). If a flag or output
-filename in the script rots, this test fails.
+script path the real unattended run takes (SD sanity image -> recon with
+LPIPS-enabled held-out evals -> global edit -> local edit + refinement ->
+turntable renders -> quality-metrics CSV), at plumbing scale with the hash
+tokenizer, random tiny-SD weights, and synthesized tiny CLIP/Inception/VGG
+metric embedders (VERDICT r3 missing-2 + r4 next-7: the evaluation suite AND
+the perceptual held-out eval execute in CI, all five reference CSV columns
+filled). If a flag or output filename in the script rots, this test fails.
 """
 import io
 import os
@@ -35,15 +36,20 @@ def test_weights_ready_demo_script_tiny(tmp_path):
         make_clip_fixture_dir,
         make_inception_fixture_dir,
     )
+    from tests.test_lpips import _synthesize_weights
 
     clip_fixture = make_clip_fixture_dir(tmp_path / "clipfx")
     inception_fixture = make_inception_fixture_dir(tmp_path / "incfx")
+    # synthesized VGG+LPIPS heads -> stage 1's held-out evals run the full
+    # perceptual path, exactly as a real-weights run would (VERDICT r4 next-7)
+    lpips_fixture = _synthesize_weights(tmp_path / "lpipsfx")
 
     out_root = tmp_path / "out"
     env = dict(
         os.environ, TINY="1", VOXE_PLATFORM="cpu",
         CLIP_MODEL_DIR=str(clip_fixture),
         INCEPTION_MODEL_DIR=str(inception_fixture),
+        VOXE_LPIPS_WEIGHTS_DIR=str(lpips_fixture),
     )
     proc = subprocess.run(
         ["bash", str(REPO / "bash_scripts" / "run_demo_when_weights_ready.sh"),
@@ -52,6 +58,12 @@ def test_weights_ready_demo_script_tiny(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     # every stage left its artifact
+    # stage 0: the prompt_to_img sanity image (tokenize -> CLIP -> DDIM
+    # sampling loop -> VAE decode, the first thing run on staged weights)
+    assert (out_root / "sd_sanity_image.png").exists()
+    # stage 1's held-out evals computed perceptual LPIPS from the staged
+    # fixture (reference testers.py:17-71 always-on protocol)
+    assert "lpips=" in proc.stdout + proc.stderr
     assert (out_root / "ref/saved_models/model_final.pth").exists()
     assert (out_root / "yarn/saved_models/model_final.pth").exists()
     assert (out_root / "party_hat/saved_models/model_final_refined.pth").exists()

@@ -173,7 +173,20 @@ def main(**kwargs) -> None:
             downsample_factor=config.data_downsample_factor,
             rgba_white_bkgd=config.white_bkgd,
         )
-        test_dataset = None
+        # single-folder layout with a test_camera_params.json alongside:
+        # build the held-out split from the SAME images dir (the dataset
+        # loads only json-listed frames) so PSNR/SSIM/LPIPS evals still run
+        test_params = data_path / "test_camera_params.json"
+        if test_params.exists():
+            test_dataset = PosedImagesDataset(
+                images_dir=data_path / "images",
+                camera_params_json=test_params,
+                normalize_scene_scale=config.normalize_scene_scale,
+                downsample_factor=config.data_downsample_factor,
+                rgba_white_bkgd=config.white_bkgd,
+            )
+        else:
+            test_dataset = None
 
     # density activation mode (reference train CLI :176-206): softplus-field
     # wins over relu-field when both flags are on (same precedence as the
