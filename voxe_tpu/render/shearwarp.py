@@ -248,10 +248,24 @@ def _streamed_composite(
         jnp.concatenate([dd, dd[-1:]], axis=0),
     )  # [S, N]
     x = dens * deltas  # [S, N] per-sample optical thickness
-    ones_ss = jnp.ones((S, S), jnp.float32)
+    # VOXE_SW_TRI_BF16=1 runs the [S,S]x[S,N] triangular contraction with
+    # bf16 inputs / f32 accumulation on bf16 volumes. Measured NEGATIVE
+    # on-chip (r5 A/B, BENCHMARKS.md): 53.29 vs 52.57 ms/iter for the full
+    # SDS step — the x-cast pass costs more than the MXU-rate win, because
+    # the fusion is HBM-bound on its exp()/weights epilogue, not MXU-bound
+    # on the 7.5-GFLOP contraction. Default stays f32 (also numerically
+    # safer: weights = exp(-opt)*(exp(x)-1) >= 0 holds either way, but the
+    # f32 path keeps transmittance exact to accumulation order).
+    mm_dt = (
+        jnp.bfloat16
+        if dt == jnp.bfloat16
+        and _os.environ.get("VOXE_SW_TRI_BF16", "0") == "1"
+        else jnp.float32
+    )
+    ones_ss = jnp.ones((S, S), mm_dt)
     tri = _flip_sel(flip_k, jnp.tril(ones_ss), jnp.triu(ones_ss))
     optical = jnp.einsum(
-        "st,sn->tn", tri, x, preferred_element_type=jnp.float32
+        "st,sn->tn", tri, x.astype(mm_dt), preferred_element_type=jnp.float32
     )  # inclusive optical depth along the marching direction
     t_incl = jnp.exp(-optical)
     t_excl = jnp.exp(x - optical)  # exclusive sum = inclusive - x

@@ -46,6 +46,27 @@ DIR_TO_NUM_DICT = {"side": 0, "overhead": 1, "back": 2, "front": 3}
 HEMISPHERICAL_RADIUS_CONSTANT = 4.0311  # reference sds_trainer.py:45
 
 
+def _resolve_remat_sds(remat_sds):
+    """None -> the VOXE_REMAT_SDS env default for the SHEAR-WARP steps.
+
+    Measured NEUTRAL on-chip (r5, same-session A/B: 53.23 ms/iter with
+    the checkpoint vs 52.70 without — dispatch noise), and structurally
+    so: `specify_gradient`'s forward value is a constant zero, so the
+    whole SDS half is dead in the primal and computes exactly once
+    inside the backward either way (with the checkpoint it appears as
+    the rematted computation; without it XLA DCEs the primal copy —
+    optimized-HLO conv counts are identical, 211 VAE-conv lines, one
+    fwd + one dgrad per layer in both). The flag therefore only matters
+    for the EXACT-path step (`make_sds_train_step`), where keeping the
+    checkpoint prevents the render-gather auto-remat pathology; the
+    shear-warp builders read VOXE_REMAT_SDS purely for A/B tooling."""
+    import os
+
+    if remat_sds is None:
+        return os.environ.get("VOXE_REMAT_SDS", "1") == "1"
+    return remat_sds
+
+
 def _pitch_yaw_from_Rt(pose_rt: np.ndarray):
     """(reference sds_trainer.py:536-541)"""
     tx, ty, tz = pose_rt[:, -1]
@@ -202,7 +223,7 @@ def make_sds_train_step_shearwarp(
     l2_mode: bool = False,
     l1_mode: bool = False,
     mesh=None,
-    remat_sds: bool = True,
+    remat_sds: Optional[bool] = None,
 ) -> Callable:
     """The north-star edit step on the SHEAR-WARP fast path.
 
@@ -223,6 +244,7 @@ def make_sds_train_step_shearwarp(
     from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
     base_hw = tuple(base_hw)
+    remat_sds = _resolve_remat_sds(remat_sds)
 
     def step(
         grid, opt_state, sd_params, text_embeddings, rotation, translation,
@@ -303,7 +325,7 @@ def make_sds_train_step_shearwarp_data(
     l2_mode: bool = False,
     l1_mode: bool = False,
     mesh=None,
-    remat_sds: bool = True,
+    remat_sds: Optional[bool] = None,
 ) -> Callable:
     """Shear-warp edit step for DATASET poses (data_pose / uncoupled modes).
 
@@ -330,6 +352,7 @@ def make_sds_train_step_shearwarp_data(
     from voxe_tpu.render.shearwarp import orient_base_image, render_shear_warp
 
     base_hw = tuple(base_hw)
+    remat_sds = _resolve_remat_sds(remat_sds)
 
     def step(
         grid, opt_state, sd_params, text_embeddings, rotations, translations,
