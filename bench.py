@@ -5,7 +5,9 @@ softplus grid rendered to a 400^2 frame on the gather/scatter-free shear-warp
 fast path (voxe_tpu/render/shearwarp.py), feeding a REAL-SHAPE SD 2.0 stack
 (1.29B params, zero-valued weights - identical FLOPs to real weights):
 resize->VAE-encode->2xUNet(bf16, CFG)->SDS-grad-inject, plus the volumetric
-density-correlation loss and the Adam update. One program, one dispatch.
+density-correlation loss and the Adam update. One program per dispatch, K
+fused iterations per device call (the trainer's production dispatch; see
+VOXE_BENCH_K below).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -23,7 +25,10 @@ overlap between iterations is possible.
 
 Env knobs:
   VOXE_BENCH_MODE=edit|recon|refine|edit_real   (default edit - the headline)
-  VOXE_BENCH_ITERS=N           (default 20)
+  VOXE_BENCH_ITERS=N           (default 20 device dispatches)
+  VOXE_BENCH_K=N               fused steps per dispatch in edit mode
+                               (default 10 — the trainer's production
+                               dispatch pattern; 1 = single-step program)
   VOXE_SHEARWARP=0             exact per-sample renderer instead (slow path)
   VOXE_BENCH_BASE=N            frame/base resolution (default 400)
 """
@@ -119,6 +124,54 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
     pose = pose_spherical(30.0, 40.0, 4.0311)
     key = jax.random.PRNGKey(1)
     t = jnp.asarray(500)
+
+    K = int(os.environ.get("VOXE_BENCH_K", "10")) if use_shearwarp else 1
+    if use_shearwarp and K > 1:
+        # The trainer's own production dispatch: K fused steps per device
+        # call (make_sds_train_multi_step — run_edit_loop_timed.py uses 25;
+        # the in-scan hemisphere pose draw cycles marching branches exactly
+        # like the real loop). The reference's 375 ms/iter anchor is itself
+        # a loop-derived average (~50 min / 8000 iters, README.md:91-92),
+        # so the fused rate is the apples-to-apples comparison; it matches
+        # the measured 8000-iter sustained rate (48.0 ms/iter, BENCHMARKS
+        # r4) where the single-dispatch program carries ~4 ms/iter of
+        # per-dispatch framing. VOXE_BENCH_K=1 restores the single-step
+        # program (the r2-r4 methodology).
+        from voxe_tpu.train.sds import make_sds_train_multi_step
+
+        multi = make_sds_train_multi_step(
+            sd, render_config, optimizer,
+            CameraIntrinsics(frame, frame, float(frame)), K,
+            density_correlation_weight=200.0, use_shear_warp=True,
+            sw_base_hw=(frame, frame),
+        )
+        text_by_dir = jnp.stack(
+            [
+                sd.get_text_embeds(f"a dog made of yarn, {d} view", "")
+                for d in ("side", "overhead", "back", "front")
+            ]
+        )
+        t_bounds = jnp.tile(jnp.asarray([[500, 500]], jnp.int32), (K, 1))
+
+        g, s, m = multi(
+            grid, opt_state, sd.params, text_by_dir, ref_d, ref_f, t_bounds, key
+        )
+        _ = np.asarray(g.densities.ravel()[:1])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            g, s, m = multi(
+                g, s, sd.params, text_by_dir, ref_d, ref_f, t_bounds,
+                jax.random.PRNGKey(i),
+            )
+        _ = np.asarray(g.densities.ravel()[:1])  # hard barrier
+        elapsed = time.perf_counter() - t0
+        ms = elapsed / (iters * K) * 1e3
+        return {
+            "metric": "sds_edit_step_ms",
+            "value": round(ms, 2),
+            "unit": "ms/iter",
+            "vs_baseline": round(REFERENCE_EDIT_MS_PER_ITER / ms, 3),
+        }
 
     if use_shearwarp:
         step = make_sds_train_step_shearwarp(
