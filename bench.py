@@ -103,19 +103,21 @@ def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
     )
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
 
-    grid = make_dog2_grid(160)
+    # VOXE_BENCH_GRID / VOXE_BENCH_SD: CPU-sized smoke of this bench's
+    # wiring (tests/test_bench_smoke.py); the headline stays 160^3 + SD 2.0
+    grid = make_dog2_grid(int(os.environ.get("VOXE_BENCH_GRID", "160")))
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
         white_bkgd=True,
         # VOXE_FUSED_KERNEL=1 routes compositing through the Pallas kernel;
-        # default OFF: the axon relay's AOT compile helper is SIGKILLed
-        # (OOM) compiling the composed program at dog2 shapes (BENCHMARKS.md
-        # "Pallas compositing kernel") — correctness is test-proven, the
-        # win is unmeasurable on this transport
+        # default OFF: measured 83.35 vs 53.27 ms/iter for the streamed
+        # compositing (BENCHMARKS.md "Pallas compositing kernel" r4 re-test)
         use_fused_kernel=os.environ.get("VOXE_FUSED_KERNEL", "0") == "1",
     )
-    sd = StableDiffusion(sd_version="2.0", init_mode="zeros")
+    sd = StableDiffusion(
+        sd_version=os.environ.get("VOXE_BENCH_SD", "2.0"), init_mode="zeros"
+    )
     optimizer = optax.adam(0.03)
     opt_state = optimizer.init(grid)
     text = sd.get_text_embeds("a dog made of yarn, front view", "")
