@@ -394,12 +394,13 @@ def bench_recon(use_shearwarp: bool, iters: int, frame: int) -> dict:
 
     from voxe_tpu.render.interface import SHVoxGridRenderConfig
     from voxe_tpu.train.recon import (
+        make_recon_train_multi_step_shearwarp,
         make_recon_train_step,
         make_recon_train_step_shearwarp,
     )
     from voxe_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
 
-    grid = make_dog2_grid(160)
+    grid = make_dog2_grid(int(os.environ.get("VOXE_BENCH_GRID", "160")))
     render_config = SHVoxGridRenderConfig(
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
@@ -430,11 +431,28 @@ def bench_recon(use_shearwarp: bool, iters: int, frame: int) -> dict:
         poses = jnp.asarray(onp.stack(poses_np))
         targets = jnp.zeros((num_images, *base_hw, 3))
         masks = jnp.ones((num_images, *base_hw))
-        step = make_recon_train_step_shearwarp(render_config, optimizer, base_hw)
-        rays_per_step = frame * frame
+        # K fused steps/dispatch — the trainer's production dispatch
+        # (steps_per_call wires make_recon_train_multi_step_shearwarp);
+        # VOXE_BENCH_K=1 restores the single-dispatch program
+        K = int(os.environ.get("VOXE_BENCH_K", "10"))
+        if K > 1:
+            multi = make_recon_train_multi_step_shearwarp(
+                render_config, optimizer, base_hw, K
+            )
+            rays_per_step = frame * frame * K
 
-        def run(g, s, k, i):
-            return step(g, s, targets, masks, poses, jnp.asarray(i % num_images), k)
+            def run(g, s, k, i):
+                idxs = jnp.arange(i, i + K, dtype=jnp.int32) % num_images
+                return multi(g, s, targets, masks, poses, idxs, k)
+
+        else:
+            step = make_recon_train_step_shearwarp(render_config, optimizer, base_hw)
+            rays_per_step = frame * frame
+
+            def run(g, s, k, i):
+                return step(
+                    g, s, targets, masks, poses, jnp.asarray(i % num_images), k
+                )
 
     else:
         ray_batch = 32768

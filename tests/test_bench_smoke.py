@@ -58,6 +58,14 @@ def test_edit_mode_single_step_smoke():
     assert rec["metric"] == "sds_edit_step_ms"
 
 
+def test_recon_mode_fused_k_smoke():
+    """Recon mode: K fused shear-warp steps/dispatch
+    (make_recon_train_multi_step_shearwarp)."""
+    rec = _run_bench({"VOXE_BENCH_MODE": "recon", "VOXE_BENCH_K": "2"})
+    assert rec["metric"] == "recon_train_rays_per_sec_per_chip"
+    assert rec["unit"] == "rays/s"
+
+
 def test_edit_real_mode_smoke():
     """Real-scene recipe shape: dataset-pose fused K-step dispatch."""
     rec = _run_bench(

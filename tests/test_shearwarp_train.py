@@ -306,3 +306,97 @@ def test_sds_shearwarp_step(rcfg):
     )
     assert all(np.isfinite(float(v)) for v in metrics.values())
     assert float(jnp.abs(new_grid.features - grid.features).max()) > 0.0
+
+
+def test_recon_multi_step_matches_sequential(rcfg, scene):
+    """K fused shear-warp recon steps (make_recon_train_multi_step_shearwarp,
+    the trainer's steps_per_call>1 program) must match K sequential
+    single-dispatch steps given the same split keys and image indices — the
+    lax.scan changes dispatch structure, not math."""
+    from voxe_tpu.train.recon import make_recon_train_multi_step_shearwarp
+
+    grid = _fresh_grid(jax.random.PRNGKey(5))
+    targets, masks = warp_dataset_to_base(
+        scene["images"], scene["poses"], scene["intr"], grid, BASE_HW
+    )
+    opt = optax.adam(0.03)
+    opt_state = opt.init(grid)
+    K = 3
+    idxs = jnp.asarray([1, 4, 7], jnp.int32)
+    call_key = jax.random.PRNGKey(9)
+
+    multi = make_recon_train_multi_step_shearwarp(rcfg, opt, BASE_HW, K)
+    gm, _, mm = multi(grid, opt_state, targets, masks, scene["poses"], idxs, call_key)
+
+    step = make_recon_train_step_shearwarp(rcfg, opt, BASE_HW)
+    g, s = grid, opt_state
+    for i, k in enumerate(jax.random.split(call_key, K)):
+        g, s, m = step(g, s, targets, masks, scene["poses"], idxs[i], k)
+
+    np.testing.assert_allclose(
+        np.asarray(gm.densities), np.asarray(g.densities), atol=5e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(gm.features), np.asarray(g.features), atol=5e-5, rtol=0
+    )
+    # scan returns the LAST step's metrics
+    np.testing.assert_allclose(
+        float(mm["total_loss"]), float(m["total_loss"]), atol=1e-5
+    )
+
+
+def test_trainer_shearwarp_steps_per_call(tmp_path):
+    """The recon trainer wires steps_per_call>1 on the shear-warp path (the
+    r5 fused dispatch; previously it warned and fell back to 1): the loop
+    strides by K, draws a [K] index batch, and trains to finite loss."""
+    from voxe_tpu.data.dataset import PosedImagesDataset
+    from voxe_tpu.data.synthetic import generate_synthetic_scene
+    from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
+    from voxe_tpu.utils.misc import (
+        compute_expected_density_scale_for_relu_field_grid,
+    )
+
+    scene_dir = generate_synthetic_scene(
+        tmp_path / "scene", num_train=6, num_test=1, image_size=32,
+        focal=32.0, grid_res=24,
+    )
+    dataset = PosedImagesDataset(
+        images_dir=scene_dir / "images",
+        camera_params_json=scene_dir / "train_camera_params.json",
+    )
+    res, world = 16, 3.0
+    cfg = VoxelGridConfig(
+        voxel_size=VoxelSize(*([world / res] * 3)),
+        density_preactivation="identity",
+        density_postactivation="softplus",
+        expected_density_scale=compute_expected_density_scale_for_relu_field_grid(
+            (world,) * 3
+        ),
+    )
+    grid = VoxelGrid(jnp.zeros((res, res, res, 1)), jnp.zeros((res, res, res, 3)), cfg)
+    rcfg2 = SHVoxGridRenderConfig(
+        num_samples_per_ray=48,
+        camera_bounds=dataset.camera_bounds,
+        white_bkgd=True,
+    )
+    model = VolumetricModel(grid, rcfg2)
+    model = train_sh_vox_grid_vol_mod_with_posed_images(
+        model,
+        dataset,
+        tmp_path / "out",
+        image_batch_cache_size=4,
+        ray_batch_size=1024,
+        num_stages=1,
+        num_iterations_per_stage=24,
+        steps_per_call=4,
+        learning_rate=0.03,
+        lr_decay_steps_per_stage=20,
+        save_freq=10_000,
+        test_freq=10_000,
+        feedback_freq=10_000,
+        summary_freq=10_000,
+        fast_debug_mode=True,
+        use_shear_warp=True,
+    )
+    out = model.render(dataset.camera_intrinsics, pose_spherical(30.0, 40.0, 4.031))
+    assert np.isfinite(np.asarray(out.colour)).all()

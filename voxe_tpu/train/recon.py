@@ -236,6 +236,19 @@ def make_recon_train_step_shearwarp(
                     poses [N,3,4], image_idx (scalar), key)
                -> (grid, opt_state, metrics)
     """
+    return jax.jit(
+        _shearwarp_recon_step_fn(
+            render_config, optimizer, base_hw,
+            apply_diffuse_render_regularization, mesh,
+        )
+    )
+
+
+def _shearwarp_recon_step_fn(
+    render_config, optimizer, base_hw, apply_diffuse_render_regularization, mesh
+):
+    """The unjitted shear-warp recon step body — shared by the single-step
+    builder above and the K-fused scan builder below."""
     base_hw = tuple(base_hw)
 
     def step(grid, opt_state, targets, masks, poses, image_idx, key):
@@ -285,7 +298,56 @@ def make_recon_train_step_shearwarp(
         metrics["total_loss"] = total_loss
         return new_grid, new_opt_state, metrics
 
-    return jax.jit(step)
+    return step
+
+
+def make_recon_train_multi_step_shearwarp(
+    render_config: SHVoxGridRenderConfig,
+    optimizer: optax.GradientTransformation,
+    base_hw,
+    steps_per_call: int,
+    apply_diffuse_render_regularization: bool = True,
+    mesh=None,
+) -> Callable:
+    """K fused shear-warp recon steps per device dispatch.
+
+    The shear-warp step is ~11 ms at production scale, so the ~4 ms/iter of
+    per-dispatch framing the relay charges (BENCHMARKS.md r5 "production
+    dispatch" A/B) is a ~36% tax on a one-dispatch-per-step loop — far
+    worse than on the 50 ms SDS step. The scan body is the SAME traced
+    step as the single-dispatch builder (shared `_shearwarp_recon_step_fn`:
+    the pose is already dynamically indexed there, so nothing about the
+    program changes shape); the per-step image index rides in as a [K]
+    array drawn host-side, preserving the trainer's sampling semantics.
+
+    Rebuilds the reference's hot loop (thre3d_atom/modules/trainers.py:
+    256-341) at K iterations per dispatch; the exact-path analog is
+    `make_recon_train_multi_step` below.
+
+    signature: multi(grid, opt_state, targets [N,U,V,3], masks [N,U,V],
+                     poses [N,3,4], image_idxs [K], key)
+               -> (grid, opt_state, last-step metrics)
+    """
+    step_fn = _shearwarp_recon_step_fn(
+        render_config, optimizer, base_hw,
+        apply_diffuse_render_regularization, mesh,
+    )
+
+    def multi(grid, opt_state, targets, masks, poses, image_idxs, key):
+        keys = jax.random.split(key, steps_per_call)
+
+        def body(carry, inputs):
+            g, s = carry
+            idx, k = inputs
+            g, s, m = step_fn(g, s, targets, masks, poses, idx, k)
+            return (g, s), m
+
+        (grid, opt_state), metrics = jax.lax.scan(
+            body, (grid, opt_state), (image_idxs, keys)
+        )
+        return grid, opt_state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi)
 
 
 def make_recon_train_step_streaming(
@@ -613,9 +675,6 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     "streaming stage falls back to the exact renderer"
                 )
             if sw_active:
-                if steps_per_call > 1:
-                    log.warning("shear-warp path dispatches per step; steps_per_call=1")
-                    steps_per_call = 1
                 # default base lattice = 2x the stage image res: the window
                 # spans the whole grid diagonal, so the object's effective
                 # sampling density is lower than in a screen frame; 2x
@@ -635,13 +694,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 sw_targets, sw_masks = warp_dataset_to_base(
                     images, poses, stage_dataset.camera_intrinsics, grid, base_hw
                 )
-                train_step = make_recon_train_step_shearwarp(
-                    stage_render_config,
-                    optimizer,
-                    base_hw,
-                    apply_diffuse_render_regularization,
-                    mesh=stage_mesh,
-                )
+                if steps_per_call > 1:
+                    train_step = make_recon_train_multi_step_shearwarp(
+                        stage_render_config,
+                        optimizer,
+                        base_hw,
+                        steps_per_call,
+                        apply_diffuse_render_regularization,
+                        mesh=stage_mesh,
+                    )
+                else:
+                    train_step = make_recon_train_step_shearwarp(
+                        stage_render_config,
+                        optimizer,
+                        base_hw,
+                        apply_diffuse_render_regularization,
+                        mesh=stage_mesh,
+                    )
             elif streaming:
                 if steps_per_call > 1:
                     log.warning(
@@ -702,11 +771,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             ):
                 key, step_key = jax.random.split(key)
                 if sw_active:
-                    idx = jnp.asarray(int(rng.integers(0, len(stage_dataset))))
-                    grid, opt_state, metrics = train_step(
-                        grid, opt_state, sw_targets, sw_masks, poses, idx, step_key
-                    )
-                    global_step += 1
+                    if steps_per_call > 1:
+                        idxs = jnp.asarray(
+                            rng.integers(0, len(stage_dataset), steps_per_call),
+                            jnp.int32,
+                        )
+                        grid, opt_state, metrics = train_step(
+                            grid, opt_state, sw_targets, sw_masks, poses, idxs,
+                            step_key,
+                        )
+                        global_step += steps_per_call
+                    else:
+                        idx = jnp.asarray(int(rng.integers(0, len(stage_dataset))))
+                        grid, opt_state, metrics = train_step(
+                            grid, opt_state, sw_targets, sw_masks, poses, idx,
+                            step_key,
+                        )
+                        global_step += 1
                 elif streaming:
                     # host-side sampling from the memmap; device sees only the
                     # tiny pose block + the [R, 3] pixel batch
