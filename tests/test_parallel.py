@@ -290,3 +290,55 @@ def test_multihost_init_two_cpu_processes(tmp_path):
         assert p.returncode == 0, f"stdout:{so[-2000:]}\nstderr:{se[-2000:]}"
     assert "primary=True ok" in outs[0][0]
     assert "primary=False ok" in outs[1][0]
+
+
+def test_recon_multi_step_shearwarp_sharded_matches_unsharded(mesh, key=jax.random.PRNGKey(11)):
+    """The K-fused shear-warp recon program (the trainer's steps_per_call>1
+    path, r5) under mesh DP must match the mesh-free program — the scan body
+    shards each step's base rows exactly like the single-dispatch step."""
+    from voxe_tpu.train.recon import (
+        make_recon_train_multi_step_shearwarp,
+        warp_dataset_to_base,
+    )
+    from voxe_tpu.utils.camera import pose_spherical
+
+    res = 12
+    grid = VoxelGrid(
+        jax.random.uniform(jax.random.PRNGKey(0), (res, res, res, 1), minval=-1.0),
+        jax.random.uniform(jax.random.PRNGKey(1), (res, res, res, 3), minval=-1.0),
+        VoxelGridConfig(
+            voxel_size=VoxelSize(*[3.0 / res] * 3),
+            density_preactivation="identity",
+            density_postactivation="softplus",
+        ),
+    )
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=16, camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True, perturb_sampled_points=False,
+    )
+    intr = CameraIntrinsics(16, 16, 16.0)
+    poses_np = [
+        np.concatenate(
+            [np.asarray(p.rotation), np.asarray(p.translation).reshape(3, 1)], axis=1
+        )
+        for p in (pose_spherical(y, 30.0, 4.0) for y in (20.0, 140.0, 260.0))
+    ]
+    poses = jnp.asarray(np.stack(poses_np))
+    images = jnp.zeros((3, 16, 16, 3))
+    base_hw = (16, 16)
+    targets, masks = warp_dataset_to_base(images, poses, intr, grid, base_hw)
+    opt = optax.adam(0.01)
+    opt_state = opt.init(grid)
+    idxs = jnp.asarray([0, 2, 1], jnp.int32)
+
+    multi_m = make_recon_train_multi_step_shearwarp(rcfg, opt, base_hw, 3, mesh=mesh)
+    multi_s = make_recon_train_multi_step_shearwarp(rcfg, opt, base_hw, 3, mesh=None)
+    g_m, _, m_m = multi_m(grid, opt_state, targets, masks, poses, idxs, key)
+    g_s, _, m_s = multi_s(grid, opt_state, targets, masks, poses, idxs, key)
+    np.testing.assert_allclose(
+        np.asarray(g_m.densities), np.asarray(g_s.densities), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_m.features), np.asarray(g_s.features), rtol=1e-4, atol=1e-5
+    )
+    assert float(m_m["total_loss"]) == pytest.approx(float(m_s["total_loss"]), rel=1e-4)
