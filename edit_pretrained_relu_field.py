@@ -176,7 +176,8 @@ from voxe_tpu.utils.misc import EasyDict, log_config_to_disk
                    "the 1.4 architecture)", show_default=True)
 @click.option("--steps_per_call", type=click.INT, required=False, default=1,
               help="edit/refinement iterations fused into one device dispatch "
-              "(random-pose directional mode only)", show_default=True)
+              "(lax.scan; covers random-pose AND dataset-pose directional "
+              "modes)", show_default=True)
 @click.option("--multihost", type=click.BOOL, required=False, default=False,
               help="initialize jax.distributed for multi-host (SPMD) execution; "
               "run the same command on every host", show_default=True)
