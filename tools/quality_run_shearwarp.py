@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true", help="force everything on CPU")
     p.add_argument("--base", type=int, default=None,
                    help="shear-warp base lattice res (default: 2x stage image res)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fused iterations per device dispatch "
+                   "(r5: works on the shear-warp path)")
     p.add_argument("--exact", action="store_true",
                    help="CONTROL: train on the exact per-sample renderer "
                    "with the same budget instead of shear-warp")
@@ -107,6 +110,7 @@ def main() -> None:
         fast_debug_mode=True,
         use_shear_warp=not args.exact,
         shear_warp_base_res=args.base,
+        steps_per_call=args.steps_per_call,
         coarse_stages_on_cpu=not args.cpu,
     )
     wall = time.time() - t0
