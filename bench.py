@@ -633,7 +633,7 @@ def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
     )
     cut_s = time.perf_counter() - t0
     print(
-        f"graphcut(160^3, {int(inside.sum())} nodes): {cut_s:.2f} s "
+        f"graphcut({res}^3, {int(inside.sum())} nodes): {cut_s:.2f} s "
         f"(one-off per refinement)", file=sys.stderr,
     )
 
