@@ -88,6 +88,47 @@ def make_dog2_grid(res: int = 160):
     )
 
 
+def _timed_graphcut_fixture(
+    res: int,
+    *,
+    sphere_frac: float,
+    edit_mask_thresh: float,
+    num_obj_voxels_thresh: int,
+    top_k_edit_thresh: int,
+    top_k_obj_thresh: int,
+):
+    """Build the synthetic half-edit sphere fixture at res^3 and run ONE
+    timed native BK graph cut (shared by the refine and edit_real modes so
+    the two benches always measure the same cut workload shape).
+
+    Returns (num_nodes, seconds)."""
+    import numpy as np
+
+    import voxe_tpu.seg.graphcut as gc
+
+    idx = np.indices((res, res, res)).reshape(3, -1).T
+    inside = (
+        np.linalg.norm(idx - (res - 1) / 2.0, axis=1) < res * sphere_frac
+    ).reshape(res, res, res, 1)
+    dens = np.where(inside, 50.0, 0.0).astype(np.float32)  # post-activation
+    # half the sphere leans edit, half object — a non-degenerate cut
+    half = (idx[:, 0] < res // 2).reshape(res, res, res, 1)
+    edit_logits = np.where(half, 3.0, -3.0).astype(np.float32)
+    rng_np = np.random.default_rng(0)
+    features = rng_np.random((res, res, res, 3), dtype=np.float32)
+    t0 = time.perf_counter()
+    gc.build_graph(
+        features, dens, edit_logits, -edit_logits, K=5.0,
+        edit_mask_thresh=edit_mask_thresh,
+        num_obj_voxels_thresh=num_obj_voxels_thresh,
+        min_num_edit_voxels=300,
+        top_k_edit_thresh=top_k_edit_thresh,
+        top_k_obj_thresh=top_k_obj_thresh,
+        rng=rng_np,
+    )
+    return int(inside.sum()), time.perf_counter() - t0
+
+
 def bench_edit(use_shearwarp: bool, iters: int, frame: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -355,27 +396,15 @@ def bench_edit_real(iters: int, frame: int) -> dict:
 
     # the recipe's one-off DOWNSAMPLED graph cut (--downsample_refine_grid):
     # x4 max-pool the 200^3 grid to 50^3 before BK maxflow
-    import voxe_tpu.seg.graphcut as gc
-
     d = res // 4
-    idx = np.indices((d, d, d)).reshape(3, -1).T
-    inside = (np.linalg.norm(idx - (d - 1) / 2.0, axis=1) < d / 3.0).reshape(
-        d, d, d, 1
-    )
-    dens = np.where(inside, 50.0, 0.0).astype(np.float32)
-    half = (idx[:, 0] < d // 2).reshape(d, d, d, 1)
-    edit_logits = np.where(half, 3.0, -3.0).astype(np.float32)
-    rng_np = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    gc.build_graph(
-        rng_np.random((d, d, d, 3), dtype=np.float32), dens, edit_logits,
-        -edit_logits, K=5.0, edit_mask_thresh=1.0,
-        num_obj_voxels_thresh=40000, min_num_edit_voxels=300,
-        top_k_edit_thresh=290, top_k_obj_thresh=2500, rng=rng_np,
+    nodes, cut_s = _timed_graphcut_fixture(
+        d, sphere_frac=1.0 / 3.0, edit_mask_thresh=1.0,
+        num_obj_voxels_thresh=40000, top_k_edit_thresh=290,
+        top_k_obj_thresh=2500,
     )
     print(
-        f"downsampled graphcut ({res}^3 -> {d}^3, {int(inside.sum())} nodes): "
-        f"{time.perf_counter() - t0:.2f} s (one-off)", file=sys.stderr,
+        f"downsampled graphcut ({res}^3 -> {d}^3, {nodes} nodes): "
+        f"{cut_s:.2f} s (one-off)", file=sys.stderr,
     )
 
     return {
@@ -609,31 +638,15 @@ def bench_refine(use_shearwarp: bool, iters: int, frame: int) -> dict:
     ms = (time.perf_counter() - t0) / (iters * K) * 1e3
     print(f"refine: {iters} dispatches x {K} fused steps", file=sys.stderr)
 
-    # one-off native graph cut at production voxel count (sphere r=40 voxels
-    # in the 160^3 grid: ~270k non-empty nodes)
-    import voxe_tpu.seg.graphcut as gc
-
-    idx = np.indices((res, res, res)).reshape(3, -1).T
-    inside = (np.linalg.norm(idx - (res - 1) / 2.0, axis=1) < res / 4.0).reshape(
-        res, res, res, 1
+    # one-off native graph cut at production voxel count (sphere r=res/4
+    # voxels: ~270k non-empty nodes at 160^3)
+    nodes, cut_s = _timed_graphcut_fixture(
+        res, sphere_frac=0.25, edit_mask_thresh=0.992,
+        num_obj_voxels_thresh=5000, top_k_edit_thresh=300,
+        top_k_obj_thresh=200,
     )
-    dens = np.where(inside, 50.0, 0.0).astype(np.float32)  # post-activation
-    rng_np = np.random.default_rng(0)
-    # half the sphere leans edit, half object — a non-degenerate cut
-    half = (idx[:, 0] < res // 2).reshape(res, res, res, 1)
-    edit_logits = np.where(half, 3.0, -3.0).astype(np.float32)
-    obj_logits = -edit_logits
-    features = rng_np.random((res, res, res, 3), dtype=np.float32)
-    t0 = time.perf_counter()
-    segments, _ = gc.build_graph(
-        features, dens, edit_logits, obj_logits, K=5.0,
-        edit_mask_thresh=0.992, num_obj_voxels_thresh=5000,
-        min_num_edit_voxels=300, top_k_edit_thresh=300, top_k_obj_thresh=200,
-        rng=rng_np,
-    )
-    cut_s = time.perf_counter() - t0
     print(
-        f"graphcut({res}^3, {int(inside.sum())} nodes): {cut_s:.2f} s "
+        f"graphcut({res}^3, {nodes} nodes): {cut_s:.2f} s "
         f"(one-off per refinement)", file=sys.stderr,
     )
 

@@ -157,3 +157,31 @@ def test_warp_dataset_to_base_rejects_inside_pose(grid):
         warp_dataset_to_base(
             jnp.zeros((1, 16, 16, 3)), jnp.asarray(poses), intr, grid, (16, 16)
         )
+
+
+def test_all_axis_margins_and_tie_conservatism(grid):
+    """The hemisphere check's tie handling (r5 review finding): per-axis
+    margins must match the hand formula, and a pose AT an |v_x|=|v_y| tie
+    must be judged by the WORST of the tied axes, not whichever argmax
+    NumPy happens to pick."""
+    from voxe_tpu.render.shearwarp import _all_axis_margins
+
+    dims = np.array(grid.grid_dims, np.float64)
+    vs = np.array(list(grid.config.voxel_size), np.float64)
+    loc = np.array(list(grid.config.grid_location), np.float64)
+    lo = loc - (dims - 1.0) / 2.0 * vs
+    hi = loc + (dims - 1.0) / 2.0 * vs
+
+    # eye outside +x face, marching toward -x (view_x < 0): margin along x is
+    # (e_x - hi_x)/vs_x; along y (view_y > 0): (lo_y - e_y)/vs_y
+    eye = np.array([[hi[0] + 2 * vs[0], lo[1] - 3 * vs[1], 0.0]])
+    view = np.array([[-0.7, 0.7, -0.14]])
+    m = _all_axis_margins(grid, eye, view)
+    assert m.shape == (1, 3)
+    np.testing.assert_allclose(m[0, 0], 2.0, atol=1e-9)
+    np.testing.assert_allclose(m[0, 1], 3.0, atol=1e-9)
+
+    # exact tie |v_x| == |v_y|: shear_warp_pose_margins picks ONE axis
+    # (argmax tie-break), but a conservative caller must see BOTH margins —
+    # here x clears by 2 voxels while y clears by 3: min over tied axes = 2
+    assert float(np.min(m[0, :2])) == pytest.approx(2.0)

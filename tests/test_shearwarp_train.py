@@ -345,10 +345,15 @@ def test_recon_multi_step_matches_sequential(rcfg, scene):
     )
 
 
-def test_trainer_shearwarp_steps_per_call(tmp_path):
+def test_trainer_shearwarp_steps_per_call(tmp_path, caplog):
     """The recon trainer wires steps_per_call>1 on the shear-warp path (the
     r5 fused dispatch; previously it warned and fell back to 1): the loop
-    strides by K, draws a [K] index batch, and trains to finite loss."""
+    strides by K, draws a [K] index batch, and trains to finite loss.
+    22 iterations at K=4 exercise the PARTIAL final chunk — exactly 22
+    optimizer steps must run, not 24 (a smaller scan compiles on demand)."""
+    import logging
+
+    caplog.set_level(logging.INFO, logger="voxe_tpu")
     from voxe_tpu.data.dataset import PosedImagesDataset
     from voxe_tpu.data.synthetic import generate_synthetic_scene
     from voxe_tpu.train.recon import train_sh_vox_grid_vol_mod_with_posed_images
@@ -387,7 +392,7 @@ def test_trainer_shearwarp_steps_per_call(tmp_path):
         image_batch_cache_size=4,
         ray_batch_size=1024,
         num_stages=1,
-        num_iterations_per_stage=24,
+        num_iterations_per_stage=22,
         steps_per_call=4,
         learning_rate=0.03,
         lr_decay_steps_per_stage=20,
@@ -400,3 +405,12 @@ def test_trainer_shearwarp_steps_per_call(tmp_path):
     )
     out = model.render(dataset.camera_intrinsics, pose_spherical(30.0, 40.0, 4.031))
     assert np.isfinite(np.asarray(out.colour)).all()
+    # exactly 22 optimizer steps: the final chunk runs as a 2-step scan,
+    # never overshooting the stage budget to 24
+    globals_logged = [
+        int(m.split("Global: ")[1].split()[0])
+        for m in caplog.messages
+        if "Global: " in m
+    ]
+    assert globals_logged, "no summary logs captured"
+    assert max(globals_logged) == 22, globals_logged

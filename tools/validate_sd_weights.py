@@ -79,12 +79,24 @@ def main(weights_dir, sd_version, run_smoke, sanity_image, sanity_prompt,
             f"sampling sanity image ({sanity_steps} DDIM steps): "
             f"{sanity_prompt!r}"
         )
-        img = sd.prompt_to_img(
-            sanity_prompt,
-            key=jax.random.PRNGKey(0),
+        # run the sampling stages explicitly so finiteness is checked on the
+        # FLOAT latents/image BEFORE the uint8 cast (prompt_to_img returns
+        # uint8, on which NaNs have already become garbage pixels)
+        text_embeds = sd.get_text_embeds(sanity_prompt, "")
+        latents = sd.produce_latents(
+            text_embeds, jax.random.PRNGKey(0),
             num_inference_steps=sanity_steps,
-        )[0]
-        assert np.isfinite(img).all() if img.dtype != np.uint8 else True
+        )
+        assert np.isfinite(np.asarray(latents)).all(), (
+            "DDIM sampling produced non-finite latents — the staged weights "
+            "are corrupt or mis-converted"
+        )
+        imgs_f = np.asarray(sd.decode_latents(sd.params["vae"], latents))
+        assert np.isfinite(imgs_f).all(), (
+            "VAE decode produced non-finite pixels — the staged weights are "
+            "corrupt or mis-converted"
+        )
+        img = (imgs_f[0] * 255).round().astype("uint8")
         out = Path(sanity_image)
         out.parent.mkdir(parents=True, exist_ok=True)
         imageio.imwrite(out, img)

@@ -857,19 +857,29 @@ def shear_warp_pose_margins(
     """
     eyes = np.asarray(eyes, np.float64).reshape(-1, 3)
     view_dirs = np.asarray(view_dirs, np.float64).reshape(-1, 3)
+    all_m = _all_axis_margins(voxel_grid, eyes, view_dirs)  # [N, 3]
+    k = np.argmax(np.abs(view_dirs), axis=1)  # [N] marching axis
+    return np.take_along_axis(all_m, k[:, None], axis=1)[:, 0]
+
+
+def _all_axis_margins(
+    voxel_grid: VoxelGrid, eyes: np.ndarray, view_dirs: np.ndarray
+) -> np.ndarray:
+    """[N, 3] eye-outside-AABB margin (in voxels) along EVERY axis, marching
+    toward sign(view_dirs[axis]): toward +k the eye must clear the LOW face,
+    toward -k the HIGH one. shear_warp_pose_margins selects the actual
+    marching (argmax) axis; check_shear_warp_hemisphere additionally checks
+    every NEAR-TIE axis so a dominant-axis switch between lattice samples
+    cannot hide a violating sliver."""
     cfg = voxel_grid.config
     dims = np.array(voxel_grid.grid_dims, np.float64)
     vsizes = np.array(list(cfg.voxel_size), np.float64)
     loc = np.array(list(cfg.grid_location), np.float64)
     aabb_lo = loc - (dims - 1.0) / 2.0 * vsizes
     aabb_hi = loc + (dims - 1.0) / 2.0 * vsizes
-
-    k = np.argmax(np.abs(view_dirs), axis=1)  # [N] marching axis
-    e_k = np.take_along_axis(eyes, k[:, None], axis=1)[:, 0]
-    positive = np.take_along_axis(view_dirs, k[:, None], axis=1)[:, 0] > 0.0
-    lo_k, hi_k, vs_k = aabb_lo[k], aabb_hi[k], vsizes[k]
-    # marching toward +k: eye must clear the LOW face; toward -k: the HIGH one
-    return np.where(positive, (lo_k - e_k) / vs_k, (e_k - hi_k) / vs_k)
+    return np.where(
+        view_dirs > 0.0, (aabb_lo - eyes) / vsizes, (eyes - aabb_hi) / vsizes
+    )
 
 
 def shear_warp_supports_pose(
@@ -923,9 +933,15 @@ def check_shear_warp_hemisphere(
     camera inside the grid AABB along its marching axis.
 
     Checks a dense pitch/yaw lattice with a Lipschitz slack: the eye moves at
-    most `radius` world units per radian, so the true minimum margin is at
-    least the sampled minimum minus radius * h * sqrt(2) / min_voxel_size
-    voxels for lattice spacing h."""
+    most `radius` world units per radian, so along any FIXED axis the true
+    minimum margin is at least the sampled minimum minus
+    radius * h * sqrt(2) / min_voxel_size voxels for lattice spacing h.
+    Because the MARCHING axis itself switches discontinuously at |v_a|=|v_b|
+    ties, the per-sample margin is taken as the min over every axis that
+    could be dominant anywhere in the sample's lattice cell (the view
+    direction moves at most h*sqrt(2) radians per cell, so any axis within
+    2*h*sqrt(2) of the max |component| is a candidate) — a sub-cell sliver
+    with a different marching axis can then never evade the check."""
     h_deg = 0.25
     h = math.radians(h_deg)
     pitch = np.radians(np.arange(15.0, 90.0 + h_deg, h_deg))
@@ -939,7 +955,11 @@ def check_shear_warp_hemisphere(
     eyes[..., 2] = radius * cp[:, None] * np.ones((1, len(yaw)))
     eyes = eyes.reshape(-1, 3)
     views = -eyes / radius  # spherical poses look at the origin
-    margins = shear_warp_pose_margins(voxel_grid, eyes, views)
+    all_m = _all_axis_margins(voxel_grid, eyes, views)  # [N, 3]
+    absv = np.abs(views)
+    tie_slack = 2.0 * h * math.sqrt(2.0)
+    candidate = absv >= absv.max(axis=1, keepdims=True) - tie_slack
+    margins = np.where(candidate, all_m, np.inf).min(axis=1)
     vs_min = float(min(voxel_grid.config.voxel_size))
     slack = radius * h * math.sqrt(2.0) / vs_min
     if float(margins.min()) - slack < min_margin:

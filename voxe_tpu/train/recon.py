@@ -695,14 +695,17 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     images, poses, stage_dataset.camera_intrinsics, grid, base_hw
                 )
                 if steps_per_call > 1:
-                    train_step = make_recon_train_multi_step_shearwarp(
-                        stage_render_config,
-                        optimizer,
-                        base_hw,
-                        steps_per_call,
-                        apply_diffuse_render_regularization,
-                        mesh=stage_mesh,
-                    )
+                    # one program per chunk size; a smaller scan compiles on
+                    # demand for the final partial chunk so the fused path
+                    # runs EXACTLY num_iterations_per_stage optimizer steps
+                    def _build_sw_multi(k, _rc=stage_render_config, _b=base_hw,
+                                        _m=stage_mesh):
+                        return make_recon_train_multi_step_shearwarp(
+                            _rc, optimizer, _b, k,
+                            apply_diffuse_render_regularization, mesh=_m,
+                        )
+
+                    sw_multi_fns = {steps_per_call: _build_sw_multi(steps_per_call)}
                 else:
                     train_step = make_recon_train_step_shearwarp(
                         stage_render_config,
@@ -726,17 +729,19 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     mesh=stage_mesh,
                 )
             elif steps_per_call > 1:
-                multi_step = make_recon_train_multi_step(
-                    stage_dataset.camera_intrinsics,
-                    stage_render_config,
-                    optimizer,
-                    stage_ray_batch,
-                    num_train_images=len(stage_dataset),
-                    image_batch_size=min(image_batch_cache_size, len(stage_dataset)),
-                    steps_per_call=steps_per_call,
-                    apply_diffuse_render_regularization=apply_diffuse_render_regularization,
-                    mesh=stage_mesh,
-                )
+                def _build_multi(k, _intr=stage_dataset.camera_intrinsics,
+                                 _rc=stage_render_config, _rb=stage_ray_batch,
+                                 _n=len(stage_dataset), _m=stage_mesh):
+                    return make_recon_train_multi_step(
+                        _intr, _rc, optimizer, _rb,
+                        num_train_images=_n,
+                        image_batch_size=min(image_batch_cache_size, _n),
+                        steps_per_call=k,
+                        apply_diffuse_render_regularization=apply_diffuse_render_regularization,
+                        mesh=_m,
+                    )
+
+                multi_step_fns = {steps_per_call: _build_multi(steps_per_call)}
             else:
                 train_step = make_recon_train_step(
                     stage_dataset.camera_intrinsics,
@@ -770,17 +775,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 start_iteration, num_iterations_per_stage + 1, steps_per_call
             ):
                 key, step_key = jax.random.split(key)
+                # final chunk may be partial: run exactly the configured
+                # number of optimizer steps, never K-1 extra past the budget
+                chunk = min(
+                    steps_per_call, num_iterations_per_stage - stage_iteration + 1
+                )
                 if sw_active:
                     if steps_per_call > 1:
+                        if chunk not in sw_multi_fns:
+                            sw_multi_fns[chunk] = _build_sw_multi(chunk)
                         idxs = jnp.asarray(
-                            rng.integers(0, len(stage_dataset), steps_per_call),
-                            jnp.int32,
+                            rng.integers(0, len(stage_dataset), chunk), jnp.int32
                         )
-                        grid, opt_state, metrics = train_step(
+                        grid, opt_state, metrics = sw_multi_fns[chunk](
                             grid, opt_state, sw_targets, sw_masks, poses, idxs,
                             step_key,
                         )
-                        global_step += steps_per_call
+                        global_step += chunk
                     else:
                         idx = jnp.asarray(int(rng.integers(0, len(stage_dataset))))
                         grid, opt_state, metrics = train_step(
@@ -807,10 +818,12 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     )
                     global_step += 1
                 elif steps_per_call > 1:
-                    grid, opt_state, metrics = multi_step(
+                    if chunk not in multi_step_fns:
+                        multi_step_fns[chunk] = _build_multi(chunk)
+                    grid, opt_state, metrics = multi_step_fns[chunk](
                         grid, opt_state, images, poses, step_key
                     )
-                    global_step += steps_per_call
+                    global_step += chunk
                 else:
                     batch_indices = jnp.asarray(next(batch_iter))
                     grid, opt_state, metrics = train_step(
