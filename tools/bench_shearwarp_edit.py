@@ -25,7 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--frame", type=int, default=400)
+    p.add_argument("--frame", type=int, default=384,
+                   help="base lattice (default matches the trainers' "
+                   "lane-aligned 400->384 rounding; pass 400 for the "
+                   "pre-r4 exact-frame shape)")
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--sd_version", type=str, default="2.0")
     p.add_argument("--only", type=str, default="")

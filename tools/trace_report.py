@@ -110,7 +110,9 @@ def main() -> None:
     p.add_argument("--probe", type=str, required=True,
                    choices=["sd_half", "render_grad", "full", "refine",
                             "report_only"])
-    p.add_argument("--frame", type=int, default=400)
+    p.add_argument("--frame", type=int, default=384,
+                   help="base lattice (matches the trainers' lane-aligned "
+                   "400->384 default)")
     p.add_argument("--grid", type=int, default=160)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--logdir", type=str, default="/tmp/voxe_trace")
