@@ -118,3 +118,84 @@ def test_oracle_sds_recolours_the_object():
     d1 = np.asarray(grid.densities).ravel()
     corr = np.corrcoef(d0, d1)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_oracle_sds_recolours_via_data_pose_fused_path():
+    """Same oracle-denoiser convergence proof through the REAL-SCENE
+    machinery: dataset poses gathered in-scan by the K-step fused dispatch
+    (make_sds_train_multi_step_data — the program edit_demo_real runs,
+    reference sds_trainer.py:244-267). Previously only the hemisphere
+    single-step path was shown to actually EDIT; this pins that the
+    data-pose scan body (per-pose rotation/translation gathers, dir-bucketed
+    text, in-scan t draw) composes into the same converging optimization."""
+    from voxe_tpu.train.sds import make_sds_train_multi_step_data
+
+    grid = make_demo_grid(res=24)
+    rcfg = SHVoxGridRenderConfig(
+        num_samples_per_ray=48,
+        camera_bounds=CameraBounds(0.5, 10.0),
+        white_bkgd=True,
+        perturb_sampled_points=False,
+    )
+    base_hw = (40, 40)
+    target = (0.1, 1.0, 0.1)  # "make it green"
+    oracle = OracleSDS(target)
+
+    optimizer = optax.adam(0.05)
+    opt_state = optimizer.init(grid)
+    P, K = 6, 10
+    rng = np.random.default_rng(3)
+    poses = [
+        pose_spherical(
+            float(rng.random() * 360.0), 15.0 + float(rng.random() * 60.0), 4.031
+        )
+        for _ in range(P)
+    ]
+    pose_rots = jnp.stack([jnp.asarray(p.rotation) for p in poses])
+    pose_transs = jnp.stack(
+        [jnp.asarray(p.translation).reshape(3, 1) for p in poses]
+    )
+    multi = make_sds_train_multi_step_data(
+        oracle, rcfg, optimizer, base_hw, 1, K,
+        density_correlation_weight=5.0,
+    )
+    ref_d = jnp.copy(grid.densities)
+    ref_f = jnp.copy(grid.features)
+    text_by_dir = jnp.zeros((4, 2, 77, 8))
+    dir_idx = jnp.zeros((P,), jnp.int32)
+    dummy_pix = jnp.zeros((1, *base_hw, 3))
+    dummy_msk = jnp.zeros((1, *base_hw))
+    t_bounds = jnp.tile(jnp.asarray([[20, 980]], jnp.int32), (K, 1))
+
+    def object_colour(g):
+        from voxe_tpu.utils.constants import EXTRA_ACCUMULATED_WEIGHTS
+
+        out, _ = render_shear_warp(g, pose_spherical(30.0, 40.0, 4.031), rcfg,
+                                   base_hw=base_hw)
+        img = np.asarray(out.colour)
+        w = np.asarray(out.extra[EXTRA_ACCUMULATED_WEIGHTS]).reshape(-1)
+        mask = w > 0.5
+        assert mask.sum() > 20
+        return img[mask].mean(axis=0)
+
+    before = object_colour(grid)
+    key = jax.random.PRNGKey(0)
+    for i in range(15):  # 15 dispatches x 10 fused steps = 150 iterations
+        key, k_idx, k_step = jax.random.split(key, 3)
+        pose_idx = jax.random.randint(k_idx, (K, 1), 0, P)
+        grid, opt_state, metrics = multi(
+            grid, opt_state, {}, text_by_dir, pose_rots, pose_transs,
+            dummy_pix, dummy_msk, dir_idx, pose_idx, ref_d, ref_f,
+            t_bounds, k_step,
+        )
+    after = object_colour(grid)
+
+    target_np = np.asarray(target)
+    dist_before = float(np.linalg.norm(before - target_np))
+    dist_after = float(np.linalg.norm(after - target_np))
+    assert dist_after < 0.5 * dist_before, (before, after)
+    assert after[1] > after[0] + 0.2 and after[1] > after[2] + 0.2, after
+    d0 = np.asarray(ref_d).ravel()
+    d1 = np.asarray(grid.densities).ravel()
+    corr = np.corrcoef(d0, d1)[0, 1]
+    assert corr > 0.9, corr
