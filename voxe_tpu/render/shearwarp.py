@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ from voxe_tpu.render.accumulate import (
 )
 from voxe_tpu.render.interface import RenderOut
 from voxe_tpu.render.rays import Rays
+from voxe_tpu.parallel.mesh import shard_axis
 from voxe_tpu.render.sh import evaluate_spherical_harmonics
 from voxe_tpu.utils.camera import CameraIntrinsics, CameraPose
 from voxe_tpu.utils.constants import (
@@ -55,7 +56,6 @@ from voxe_tpu.utils.constants import (
     EXTRA_DISPARITY,
     INFINITY,
     NUM_COLOUR_CHANNELS,
-    ZERO_PLUS,
 )
 
 # the 6 (axis, direction) marching permutations: each maps world axes
@@ -68,8 +68,10 @@ class BaseImageGeometry(NamedTuple):
     """Traced geometry of the base-plane image (all world-space)."""
 
     eye: jnp.ndarray  # [3] camera center
-    dirs: jnp.ndarray  # [U*V, 3] unit ray dir per base pixel (world order)
-    t_slices: None  # internal-only ([N, dims[k]] is branch-dependent)
+    # dirs/t_slices are None on compute_base_geometry results (host-side
+    # geometry never materializes them); the traced render fills both
+    dirs: Optional[jnp.ndarray]  # [U*V, 3] unit ray dir per base pixel
+    t_slices: Optional[jnp.ndarray]  # internal-only (branch-dependent shape)
     lo: jnp.ndarray  # [2] base window lower corner (grid coords, a/b)
     hi: jnp.ndarray  # [2]
     perm_index: jnp.ndarray  # [] int32: which of the 6 marching branches ran
@@ -180,10 +182,8 @@ def _streamed_composite(
     samples, but with `noise_std > 0` outside samples regain nonzero weights
     and the zero-padded resampled features must not shade into the composite.
     """
-    import os as _os
-
     if slice_block is None:
-        slice_block = int(_os.environ.get("VOXE_SW_BLOCK", "32"))
+        slice_block = int(os.environ.get("VOXE_SW_BLOCK", "32"))
     S, A, B, C1 = vol.shape
     _, U, _ = Wa.shape
     V = Wb.shape[1]
@@ -199,16 +199,12 @@ def _streamed_composite(
         preferred_element_type=jnp.float32,
     ).astype(dt)  # [S, U, B]
     if mesh is not None:
-        from voxe_tpu.parallel.mesh import shard_axis
-
         tmp_d = shard_axis(mesh, tmp_d, axis=1)
     dens_rs = jnp.einsum(
         "svb,sub->suv", Wb.astype(dt), tmp_d,
         preferred_element_type=jnp.float32,
     )  # [S, U, V] f32 (slice-major: no output transpose)
     if mesh is not None:
-        from voxe_tpu.parallel.mesh import shard_axis
-
         dens_rs = shard_axis(mesh, dens_rs, axis=1)  # DP over base rows (u)
     dens = d_post(dens_rs).reshape(S, N)
     dens = jnp.where(inside_sn, dens, 0.0)
@@ -259,7 +255,7 @@ def _streamed_composite(
     mm_dt = (
         jnp.bfloat16
         if dt == jnp.bfloat16
-        and _os.environ.get("VOXE_SW_TRI_BF16", "0") == "1"
+        and os.environ.get("VOXE_SW_TRI_BF16", "0") == "1"
         else jnp.float32
     )
     ones_ss = jnp.ones((S, S), mm_dt)
@@ -291,17 +287,13 @@ def _streamed_composite(
             preferred_element_type=jnp.float32,
         ).astype(dt)
         if mesh is not None:
-            from voxe_tpu.parallel.mesh import shard_axis
-
-            tmp = shard_axis(mesh, tmp, axis=1)
+                tmp = shard_axis(mesh, tmp, axis=1)
         res = jnp.einsum(
             "svb,subc->suvc", Wb_b.astype(dt), tmp,
             preferred_element_type=jnp.float32,
         )  # [Sb, U, V, Cf] f32-accumulated (slice-major: no output transpose)
         if mesh is not None:
-            from voxe_tpu.parallel.mesh import shard_axis
-
-            res = shard_axis(mesh, res, axis=1)
+                res = shard_axis(mesh, res, axis=1)
         Sb = vol_b.shape[0]
         feats = f_post(res.astype(dt)).reshape(Sb, N, num_channels, n_coeffs)
         shade_degree = 0 if diffuse_only else sh_degree
@@ -504,16 +496,12 @@ def _render_canonical(
         preferred_element_type=jnp.float32,
     ).astype(dt)  # [S, U, B, C+1]
     if mesh is not None:
-        from voxe_tpu.parallel.mesh import shard_axis
-
         tmp = shard_axis(mesh, tmp, axis=1)  # DP over base rows (u)
     resampled = jnp.einsum(
         "svb,subc->uvsc", Wb.astype(dt), tmp,
         preferred_element_type=jnp.float32,
     )  # [U, V, S, C+1]
     if mesh is not None:
-        from voxe_tpu.parallel.mesh import shard_axis
-
         resampled = shard_axis(mesh, resampled, axis=0)
     C1 = resampled.shape[-1]
     # f32 accumulation output from the einsum; the DENSITY channel stays f32
@@ -697,8 +685,11 @@ def render_shear_warp(
         #     and a minimal 3-way switch holding ONLY the volume transpose;
         #   - marching direction: traced `flip_k` selects (tril/triu,
         #     delta orientation, tau order) inside the one trace.
-        axis_t = jnp.argmax(jnp.abs(view_dir)).astype(jnp.int32)
-        positive = view_dir[axis_t] > 0.0
+        # branch (line above the if) already encodes axis * 2 + (dir > 0):
+        # derive from it so the tie-breaking rule has ONE traced source of
+        # truth that the host-side guards mirror (_principal_branch)
+        axis_t = branch // 2
+        positive = (branch % 2) == 1
         M = jnp.asarray(_PERM_MATS_NP, jnp.float32)[axis_t]  # [3, 3]
         vs = M @ vsizes
         lo3 = M @ aabb_lo
